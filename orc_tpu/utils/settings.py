@@ -1,0 +1,173 @@
+"""Numerical settings for the solver stack.
+
+Mirrors the capability surface of the reference's settings module
+(reference: lib.rs:8-202) as hashable frozen dataclasses so a settings
+object can be passed as a static argument to jitted functions: each
+distinct scheme combination traces to its own XLA executable, and all
+scheme dispatch happens at trace time (no data-dependent branching on
+device).
+
+Defaults follow the reference (lib.rs:58-86): CD1 momentum, CD diffusion,
+second-order pressure interpolation, Rhie-Chow face velocities, cell-based
+Green-Gauss gradients, momentum relaxation 0.5, pressure relaxation 0.01,
+multigrid solver with 50 iterations/level, relaxation 0.5, relative
+convergence threshold 1e-3, Jacobi preconditioning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Optional
+
+
+class PressureVelocityCoupling(enum.Enum):
+    SIMPLE = "simple"
+
+
+class MomentumScheme(enum.Enum):
+    """Momentum advection discretization (reference: lib.rs:95-105)."""
+
+    UD = "ud"  # first-order upwind
+    CD1 = "cd1"  # central differencing (arithmetic mean)
+    CD2 = "cd2"  # gradient-corrected CD (second order on arbitrary grids)
+    TVD = "tvd"  # flux-limited; psi(r) supplied via NumericalSettings.tvd_psi
+
+
+class DiffusionScheme(enum.Enum):
+    CD = "cd"
+
+
+class PressureInterpolation(enum.Enum):
+    """Face-pressure interpolation (reference: lib.rs:125-133)."""
+
+    LINEAR = "linear"
+    LINEAR_WEIGHTED = "linear_weighted"
+    SECOND_ORDER = "second_order"
+
+
+class VelocityInterpolation(enum.Enum):
+    """Face-velocity / face-flux interpolation (reference: lib.rs:135-146)."""
+
+    LINEAR = "linear"
+    LINEAR_WEIGHTED = "linear_weighted"
+    RHIE_CHOW = "rhie_chow"
+
+
+class GradientReconstruction(enum.Enum):
+    """Cell-gradient reconstruction (reference: lib.rs:148-162)."""
+
+    GREEN_GAUSS_CELL = "green_gauss_cell"
+    LEAST_SQUARES = "least_squares"
+
+
+class TurbulenceModel(enum.Enum):
+    NONE = "none"
+    STANDARD_K_EPSILON = "k_epsilon"
+
+
+class SolutionMethod(enum.Enum):
+    """Sparse linear solver (reference: lib.rs:171-179).
+
+    Unlike the reference, Gauss-Seidel here is a working multi-color sweep
+    (the reference's is disabled, linear_algebra.rs:245), and Multigrid
+    passes the known-solution solver test (the reference's does not,
+    linear_algebra.rs:344-345).
+    """
+
+    JACOBI = "jacobi"
+    GAUSS_SEIDEL = "gauss_seidel"
+    BICGSTAB = "bicgstab"
+    MULTIGRID = "multigrid"
+
+
+class PreconditionMethod(enum.Enum):
+    NONE = "none"
+    JACOBI = "jacobi"
+
+
+class RestrictionMethod(enum.Enum):
+    """AMG coarsening strategy (reference: lib.rs:197-201)."""
+
+    INJECTION = "injection"
+    STRONGEST = "strongest"
+
+
+# --- TVD limiter functions psi(r) (reference: lib.rs:107-118). ---
+# These operate on JAX arrays; they are closed over at trace time, so each
+# limiter compiles to its own executable (the TPU answer to the reference's
+# function-valued enum variant MomentumDiscretization::TVD(fn)).
+
+def tvd_lud(r):
+    return r
+
+
+def tvd_quick(r):
+    return (3.0 + r) / 4.0
+
+
+def tvd_umist(r):
+    import jax.numpy as jnp
+
+    m = jnp.minimum(
+        jnp.minimum(2.0 * r, (1.0 + 3.0 * r) / 4.0),
+        jnp.minimum((3.0 + r) / 4.0, jnp.full_like(r, 2.0)),
+    )
+    return jnp.maximum(0.0, m)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixSolverSettings:
+    """Reference: lib.rs:39-56 (defaults lib.rs:76-86)."""
+
+    solver_type: SolutionMethod = SolutionMethod.MULTIGRID
+    # Iterations per solve (per level for multigrid). The reference notes
+    # stability issues below ~50 (lib.rs:43-44).
+    iterations: int = 50
+    relaxation: float = 0.5
+    # Terminate when the residual norm falls to this fraction of its value
+    # after one iteration.
+    relative_convergence_threshold: float = 1e-3
+    preconditioner: PreconditionMethod = PreconditionMethod.JACOBI
+    # AMG controls (reference: linear_algebra.rs:9-10; smoother fixed to
+    # BiCGSTAB with 3 coarsening levels there).
+    multigrid_smoother: SolutionMethod = SolutionMethod.BICGSTAB
+    multigrid_levels: int = 3
+    multigrid_restriction: RestrictionMethod = RestrictionMethod.STRONGEST
+    multigrid_coarsest_size: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class NumericalSettings:
+    """Reference: lib.rs:14-35 (defaults lib.rs:58-74)."""
+
+    pressure_velocity_coupling: PressureVelocityCoupling = (
+        PressureVelocityCoupling.SIMPLE
+    )
+    momentum: MomentumScheme = MomentumScheme.CD1
+    # psi(r) for MomentumScheme.TVD. Identity of the callable is the hash
+    # key, so reuse module-level functions (tvd_lud/tvd_quick/tvd_umist).
+    tvd_psi: Optional[Callable] = None
+    diffusion: DiffusionScheme = DiffusionScheme.CD
+    pressure_interpolation: PressureInterpolation = PressureInterpolation.SECOND_ORDER
+    velocity_interpolation: VelocityInterpolation = VelocityInterpolation.RHIE_CHOW
+    gradient_reconstruction: GradientReconstruction = (
+        GradientReconstruction.GREEN_GAUSS_CELL
+    )
+    momentum_relaxation: float = 0.5
+    # Must be very small (<<0.1) for stable SIMPLE convergence
+    # (reference: lib.rs:31-32, README.md:17-19).
+    pressure_relaxation: float = 0.01
+    matrix_solver: MatrixSolverSettings = dataclasses.field(
+        default_factory=MatrixSolverSettings
+    )
+    turbulence: TurbulenceModel = TurbulenceModel.NONE
+
+    def replace(self, **kw) -> "NumericalSettings":
+        return dataclasses.replace(self, **kw)
+
+
+# Convenience preset settings mirroring the reference's named limiters.
+TVD_LUD = NumericalSettings(momentum=MomentumScheme.TVD, tvd_psi=tvd_lud)
+TVD_QUICK = NumericalSettings(momentum=MomentumScheme.TVD, tvd_psi=tvd_quick)
+TVD_UMIST = NumericalSettings(momentum=MomentumScheme.TVD, tvd_psi=tvd_umist)

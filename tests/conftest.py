@@ -1,0 +1,40 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths can
+be exercised without TPU hardware (`shard_map` over a fake mesh). Real
+TPU execution is covered by bench.py / the driver's compile checks.
+"""
+
+import os
+
+# Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_EXAMPLES = "/root/reference/examples"
+
+
+@pytest.fixture(scope="session")
+def reference_mesh_dir():
+    if not os.path.isdir(REFERENCE_EXAMPLES):
+        pytest.skip("reference example meshes not available")
+    return REFERENCE_EXAMPLES
+
+
+@pytest.fixture(scope="session")
+def small_box():
+    """3x3x3 unit box, generated analytically."""
+    from orc_tpu.mesh import structured_box_mesh
+
+    return structured_box_mesh(3, 3, 3)
+
+
+def assert_allclose(a, b, rtol=1e-12, atol=1e-12, **kw):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol, **kw)
