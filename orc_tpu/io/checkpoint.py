@@ -1,0 +1,90 @@
+"""Checkpoint / warm-start.
+
+The reference warm-starts from its text data file when one exists,
+falling back to fresh initialization (tests.rs:84-86,195-197), with
+cell order as the implicit schema and no mesh-consistency check. Here
+checkpoints are compressed npz archives carrying a mesh fingerprint so
+a checkpoint is never silently applied to a different mesh — plus the
+same text-format warm-start path for compatibility.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orc_tpu.mesh.compile import CompiledMesh
+from orc_tpu.solver.simple import FlowState
+
+
+def mesh_fingerprint(mesh: CompiledMesh) -> str:
+    h = hashlib.sha256()
+    h.update(np.int64(mesh.n_cells).tobytes())
+    h.update(np.int64(mesh.n_faces).tobytes())
+    h.update(np.asarray(mesh.cell_centroid, dtype=np.float64).tobytes())
+    return h.hexdigest()[:16]
+
+
+def save_checkpoint(path, mesh: CompiledMesh, state: FlowState, iteration=0):
+    np.savez_compressed(
+        path,
+        vel=np.asarray(state.vel),
+        p=np.asarray(state.p),
+        mom_diag=np.asarray(state.mom_diag),
+        iteration=np.int64(iteration),
+        mesh_fingerprint=np.bytes_(mesh_fingerprint(mesh).encode()),
+    )
+
+
+def load_checkpoint(path, mesh: CompiledMesh):
+    """Returns (FlowState, iteration). Raises ValueError on a mesh
+    mismatch."""
+    with np.load(path) as z:
+        fp = bytes(z["mesh_fingerprint"]).decode()
+        if fp != mesh_fingerprint(mesh):
+            raise ValueError(
+                f"checkpoint {path} was written for a different mesh "
+                f"(fingerprint {fp})"
+            )
+        state = FlowState(
+            vel=jnp.asarray(z["vel"], mesh.dtype),
+            p=jnp.asarray(z["p"], mesh.dtype),
+            mom_diag=jnp.asarray(z["mom_diag"], mesh.dtype),
+        )
+        return state, int(z["iteration"])
+
+
+def load_or_initialize(
+    path: Optional[str],
+    mesh: CompiledMesh,
+    table,
+    mu: float,
+    rho: float,
+) -> FlowState:
+    """Warm-start semantics of the reference harness (tests.rs:84-86):
+    resume from `path` if it exists (npz checkpoint or reference-format
+    text data), else run field initialization."""
+    from orc_tpu.solver.init_fields import initialize_flow
+
+    if path and os.path.exists(path):
+        if path.endswith(".npz"):
+            state, _ = load_checkpoint(path, mesh)
+            return state
+        from orc_tpu.io.data import read_data
+
+        vel, p = read_data(path)
+        if vel.shape[0] != mesh.n_cells:
+            raise ValueError(
+                f"data file {path} has {vel.shape[0]} cells, mesh has "
+                f"{mesh.n_cells}"
+            )
+        return FlowState(
+            vel=jnp.asarray(vel, mesh.dtype),
+            p=jnp.asarray(p, mesh.dtype),
+            mom_diag=jnp.ones((mesh.n_cells, 3), mesh.dtype),
+        )
+    return initialize_flow(mesh, table, mu, rho)

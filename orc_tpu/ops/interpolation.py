@@ -1,0 +1,161 @@
+"""Face interpolation ops: velocity, pressure, and mass flux at faces.
+
+TPU-native re-design of the reference's per-face closures
+(reference: solver.rs:952-1150): each op is a single vectorized map over
+all F faces — two cell-value gathers, elementwise math, and BC selection
+by `jnp.where` over the face BC-code array. Fluxes and face pressures
+are computed ONCE per face per outer iteration and reused by every
+assembly that needs them (the reference recomputes gradients per face
+per cell, an O(F * K) blowup noted in SURVEY.md 3.3).
+
+Sign convention: `face_flux` returns the normal velocity with respect to
+the owner cell's outward normal. The flux out of the *neighbor* cell
+through the same face is its negation (the [C,K] assembly applies
+`cell_face_sign`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from orc_tpu.mesh.compile import CompiledMesh
+from orc_tpu.ops.fields import (
+    INTERIOR,
+    PRESSURE_INLET,
+    PRESSURE_OUTLET,
+    SYMMETRY,
+    VELOCITY_INLET,
+    WALL,
+    FaceBC,
+)
+from orc_tpu.utils.settings import PressureInterpolation, VelocityInterpolation
+
+
+def _interior_scalar(mesh: CompiledMesh, own, nbr, weighted: bool):
+    if weighted:
+        w = mesh.face_lw
+        if own.ndim > 1:
+            w = w[:, None]
+        return own + (nbr - own) * w
+    return 0.5 * (own + nbr)
+
+
+def face_velocity(
+    mesh: CompiledMesh,
+    fbc: FaceBC,
+    vel,  # [C,3]
+    scheme: VelocityInterpolation = VelocityInterpolation.LINEAR,
+):
+    """Velocity at each face [F,3] (reference: solver.rs:952-1003)."""
+    own = vel[mesh.face_owner]
+    nbr = vel[mesh.face_neighbor]
+    if scheme == VelocityInterpolation.LINEAR_WEIGHTED:
+        interior = _interior_scalar(mesh, own, nbr, True)
+    else:
+        interior = _interior_scalar(mesh, own, nbr, False)
+
+    out = jnp.where(
+        fbc.is_(WALL, VELOCITY_INLET)[:, None],
+        fbc.vector,
+        jnp.where(
+            fbc.is_(PRESSURE_INLET, PRESSURE_OUTLET, SYMMETRY)[:, None],
+            own,
+            interior,
+        ),
+    )
+    return out
+
+
+def face_pressure(
+    mesh: CompiledMesh,
+    fbc: FaceBC,
+    p,  # [C]
+    scheme: PressureInterpolation,
+    grad_p=None,  # [C,3], required for SECOND_ORDER
+):
+    """Pressure at each face [F] (reference: solver.rs:1104-1150)."""
+    own = p[mesh.face_owner]
+    nbr = p[mesh.face_neighbor]
+    if scheme == PressureInterpolation.LINEAR:
+        interior = 0.5 * (own + nbr)
+    elif scheme == PressureInterpolation.LINEAR_WEIGHTED:
+        interior = _interior_scalar(mesh, own, nbr, True)
+    elif scheme == PressureInterpolation.SECOND_ORDER:
+        if grad_p is None:
+            raise ValueError("SECOND_ORDER face pressure requires grad_p")
+        r0 = mesh.face_centroid - mesh.cell_centroid[mesh.face_owner]
+        r1 = mesh.face_centroid - mesh.cell_centroid[mesh.face_neighbor]
+        g0 = jnp.einsum("fi,fi->f", grad_p[mesh.face_owner], r0)
+        g1 = jnp.einsum("fi,fi->f", grad_p[mesh.face_neighbor], r1)
+        interior = 0.5 * ((own + nbr) + (g0 + g1))
+    else:
+        raise NotImplementedError(f"pressure interpolation {scheme}")
+
+    return jnp.where(
+        fbc.is_(WALL, SYMMETRY, VELOCITY_INLET),
+        own,
+        jnp.where(fbc.is_(PRESSURE_INLET, PRESSURE_OUTLET), fbc.scalar, interior),
+    )
+
+
+def face_flux(
+    mesh: CompiledMesh,
+    fbc: FaceBC,
+    vel,  # [C,3]
+    scheme: VelocityInterpolation,
+    p=None,  # [C]      (Rhie-Chow)
+    grad_p=None,  # [C,3]    (Rhie-Chow)
+    mom_diag=None,  # [C,3] momentum-matrix diagonals (Rhie-Chow)
+):
+    """Normal velocity (owner-outward) at each face [F]
+    (reference: solver.rs:1007-1102).
+
+    Rhie-Chow (solver.rs:1051-1095):
+        0.5 * [ (v_i + v_j) . n
+                + (V_i/a_i + V_j/a_j) (p_i - p_j)/|r_ij|
+                - (V_i/a_i grad_p_i + V_j/a_j grad_p_j) . r_ij_hat ]
+    with a_c = |(a_u_c n_x, a_v_c n_y, a_w_c n_z)| the normal momentum
+    coefficient (discretization.rs:14-23). Gradients and diagonals are
+    the once-per-iteration cell arrays, not recomputed per face.
+    """
+    n = mesh.face_normal
+    own_i = mesh.face_owner
+    nbr_i = mesh.face_neighbor
+    v_own = vel[own_i]
+    v_nbr = vel[nbr_i]
+
+    if scheme in (
+        VelocityInterpolation.LINEAR,
+        VelocityInterpolation.LINEAR_WEIGHTED,
+    ):
+        vf = _interior_scalar(
+            mesh, v_own, v_nbr, scheme == VelocityInterpolation.LINEAR_WEIGHTED
+        )
+        interior = jnp.einsum("fi,fi->f", vf, n)
+    elif scheme == VelocityInterpolation.RHIE_CHOW:
+        if p is None or grad_p is None or mom_diag is None:
+            raise ValueError("Rhie-Chow flux requires p, grad_p, mom_diag")
+        a_i = jnp.linalg.norm(mom_diag[own_i] * n, axis=1)
+        a_j = jnp.linalg.norm(mom_diag[nbr_i] * n, axis=1)
+        voa_i = mesh.cell_volume[own_i] / a_i
+        voa_j = mesh.cell_volume[nbr_i] / a_j
+        r_ij = mesh.face_r_on  # owner -> neighbor centroid vector
+        dist = mesh.face_dist_on
+        term1 = jnp.einsum("fi,fi->f", v_own + v_nbr, n)
+        term2 = (voa_i + voa_j) * (p[own_i] - p[nbr_i]) / dist
+        gsum = voa_i[:, None] * grad_p[own_i] + voa_j[:, None] * grad_p[nbr_i]
+        term3 = jnp.einsum("fi,fi->f", gsum, r_ij) / dist
+        interior = 0.5 * (term1 + term2 - term3)
+    else:
+        raise NotImplementedError(f"velocity interpolation {scheme}")
+
+    boundary_vn = jnp.where(
+        fbc.is_(VELOCITY_INLET),
+        jnp.einsum("fi,fi->f", fbc.vector, n),
+        jnp.einsum("fi,fi->f", v_own, n),  # pressure inlet/outlet
+    )
+    return jnp.where(
+        fbc.is_(WALL, SYMMETRY),
+        0.0,
+        jnp.where(fbc.is_(INTERIOR), interior, boundary_vn),
+    )

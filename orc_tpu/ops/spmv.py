@@ -1,0 +1,67 @@
+"""ELL sparse matrix-vector products.
+
+The fixed mesh adjacency gives every assembled system the same sparsity:
+one diagonal + up to K off-diagonals per row, aligned with
+`mesh.cell_neighbors` (the TPU-native replacement for the reference's
+CSR matrices with in-place value overwrite, discretization.rs:450-472).
+
+`EllMatrix` supports leading batch dimensions — the three momentum
+systems (shared sparsity, different coefficients) are solved as one
+batched [3, C] solve.
+
+The default implementation is pure XLA (gather + multiply + reduce,
+which XLA fuses well). A Pallas kernel path for the roofline-critical
+single-matrix case lives in `orc_tpu.ops.pallas_kernels` and is selected
+automatically on TPU for large meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """A = diag(diag) + scatter(off) over a shared neighbor table.
+
+    diag: [..., C];  off: [..., C, K];  neighbors: [C, K] i32 with
+    self-indices at padded/boundary slots (their `off` must be 0).
+    """
+
+    diag: jax.Array
+    off: jax.Array
+    neighbors: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.diag.shape[-1]
+
+    def matvec(self, x):
+        """A @ x for x of shape [..., C] (batch dims broadcast)."""
+        return ell_spmv(self.diag, self.off, self.neighbors, x)
+
+    def with_values(self, diag, off) -> "EllMatrix":
+        return EllMatrix(diag=diag, off=off, neighbors=self.neighbors)
+
+    def jacobi_preconditioned(self):
+        """Return (D^-1 A, D^-1) applied form: scales rows by 1/diag
+        (reference: linear_algebra.rs:157-168)."""
+        inv_d = 1.0 / self.diag
+        return (
+            EllMatrix(
+                diag=jnp.ones_like(self.diag),
+                off=self.off * inv_d[..., None],
+                neighbors=self.neighbors,
+            ),
+            inv_d,
+        )
+
+
+def ell_spmv(diag, off, neighbors, x):
+    """y = diag * x + sum_k off[..., k] * x[..., neighbors[:, k]]."""
+    xg = x[..., neighbors]  # [..., C, K]
+    return diag * x + jnp.sum(off * xg, axis=-1)

@@ -1,0 +1,290 @@
+"""SIMPLE pressure-velocity coupling — the outer nonlinear loop.
+
+TPU-native re-design of the reference's `solve_steady`
+(solver.rs:26-244): one *entire* SIMPLE iteration (gradient
+reconstruction -> face fluxes -> momentum assembly -> three batched
+momentum solves -> pressure-correction assembly + solve -> field
+updates -> metrics) is a single traced function, and `lax.scan` drives
+`reporting_interval` iterations per device dispatch. Assembly, solves
+and updates never leave the device; the host only reads back the small
+metrics pytree between chunks for reporting/divergence handling.
+
+Improvements over the reference, by design (SURVEY.md 7):
+- cell gradients computed once per iteration (not per face per cell);
+- u/v/w solved as one batched [3, C] solve over shared sparsity;
+- divergence reported as data, not a panic (host raises
+  `SolverDivergedError` with the iteration number).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from orc_tpu.mesh.compile import CompiledMesh
+from orc_tpu.mesh.zones import BoundaryTable
+from orc_tpu.ops.assembly import (
+    DiffusionSystem,
+    apply_pressure_correction,
+    diffusion_system,
+    momentum_system,
+    pressure_correction_system,
+)
+from orc_tpu.ops.fields import device_bc, face_bc
+from orc_tpu.ops.gradients import pressure_gradient, velocity_gradient
+from orc_tpu.ops.interpolation import face_flux, face_pressure
+from orc_tpu.ops.spmv import EllMatrix
+from orc_tpu.solver.krylov import iterative_solve
+from orc_tpu.utils.settings import (
+    MomentumScheme,
+    NumericalSettings,
+    PressureInterpolation,
+    SolutionMethod,
+    VelocityInterpolation,
+)
+
+
+class SolverDivergedError(RuntimeError):
+    def __init__(self, iteration: int):
+        super().__init__(f"solution diverged at iteration {iteration}")
+        self.iteration = iteration
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FlowState:
+    vel: jax.Array  # [C,3]
+    p: jax.Array  # [C]
+    # Momentum-matrix diagonals from the previous iteration; used by
+    # Rhie-Chow fluxes and the pressure-correction coefficients before
+    # this iteration's matrices exist (the reference reads them from its
+    # in-place-updated CSR matrices, initialized to 1.0 —
+    # discretization.rs:450-472).
+    mom_diag: jax.Array  # [C,3]
+
+
+class StepMetrics(NamedTuple):
+    vel_avg: jax.Array  # [3]
+    peclet_avg: jax.Array
+    peclet_min: jax.Array
+    peclet_max: jax.Array
+    p_corr_norm: jax.Array
+    vel_corr_norm: jax.Array
+    mom_residual: jax.Array  # [3] final momentum solve residuals
+    pc_residual: jax.Array  # pressure-correction solve residual
+    diverged: jax.Array  # bool
+
+
+def initial_state(mesh: CompiledMesh, vel=None, p=None) -> FlowState:
+    C = mesh.n_cells
+    dt = mesh.dtype
+    return FlowState(
+        vel=jnp.zeros((C, 3), dt) if vel is None else jnp.asarray(vel, dt),
+        p=jnp.zeros((C,), dt) if p is None else jnp.asarray(p, dt),
+        mom_diag=jnp.ones((C, 3), dt),
+    )
+
+
+def _needs_grad_p(settings: NumericalSettings) -> bool:
+    return (
+        settings.velocity_interpolation == VelocityInterpolation.RHIE_CHOW
+        or settings.pressure_interpolation == PressureInterpolation.SECOND_ORDER
+    )
+
+
+def simple_step(
+    mesh: CompiledMesh,
+    zone_codes,
+    zone_scalar,
+    zone_vector,
+    settings: NumericalSettings,
+    rho,
+    mu,
+    diff: DiffusionSystem,
+    state: FlowState,
+    solver_extras: Optional[dict] = None,
+):
+    """One SIMPLE iteration. Traceable; all arguments but `settings`
+    (static) and `solver_extras` (aux pytrees) are device data."""
+    solver_extras = solver_extras or {}
+    fbc = face_bc(mesh, zone_codes, zone_scalar, zone_vector)
+
+    grad_p = (
+        pressure_gradient(mesh, fbc, state.p, settings.gradient_reconstruction)
+        if _needs_grad_p(settings)
+        else None
+    )
+    grad_v = (
+        velocity_gradient(mesh, fbc, state.vel, settings.gradient_reconstruction)
+        if settings.momentum == MomentumScheme.TVD
+        else None
+    )
+
+    flux = face_flux(
+        mesh,
+        fbc,
+        state.vel,
+        settings.velocity_interpolation,
+        p=state.p,
+        grad_p=grad_p,
+        mom_diag=state.mom_diag,
+    )
+    p_f = face_pressure(
+        mesh, fbc, state.p, settings.pressure_interpolation, grad_p=grad_p
+    )
+
+    A3, b3, peclet = momentum_system(
+        mesh, fbc, settings, rho, state.vel, flux, p_f, diff, grad_vel=grad_v
+    )
+
+    # Batched momentum solve over the shared sparsity.
+    def solve_one(diag, off, b, x0):
+        Ai = EllMatrix(diag=diag, off=off, neighbors=A3.neighbors)
+        return iterative_solve(
+            Ai, b, x0, settings.matrix_solver, **solver_extras
+        )
+
+    x0 = jnp.moveaxis(state.vel, -1, 0)  # [3,C]
+    sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
+    new_vel = jnp.moveaxis(sol, 0, -1)
+    new_mom_diag = jnp.moveaxis(A3.diag, 0, -1)
+
+    # Pressure-correction system with post-solve velocities and the new
+    # momentum diagonals (reference: solver.rs:137-148).
+    flux2 = face_flux(
+        mesh,
+        fbc,
+        new_vel,
+        settings.velocity_interpolation,
+        p=state.p,
+        grad_p=grad_p,
+        mom_diag=new_mom_diag,
+    )
+    Pmat, b_p = pressure_correction_system(mesh, fbc, rho, flux2, new_mom_diag)
+    p_prime0 = jnp.zeros_like(state.p)
+    p_prime, p_info = iterative_solve(
+        Pmat, b_p, p_prime0, settings.matrix_solver, **solver_extras
+    )
+
+    vel3, p_new, (p_corr_norm, vel_corr_norm) = apply_pressure_correction(
+        mesh, fbc, settings, p_prime, new_mom_diag, new_vel, state.p
+    )
+
+    vel_avg = jnp.mean(vel3, axis=0)
+    diverged = (
+        jnp.any(jnp.isnan(vel_avg))
+        | jnp.any(info.diverged)
+        | p_info.diverged
+    )
+    metrics = StepMetrics(
+        vel_avg=vel_avg,
+        peclet_avg=peclet.avg,
+        peclet_min=peclet.min,
+        peclet_max=peclet.max,
+        p_corr_norm=p_corr_norm,
+        vel_corr_norm=vel_corr_norm,
+        mom_residual=info.residual,
+        pc_residual=p_info.residual,
+        diverged=diverged,
+    )
+    new_state = FlowState(vel=vel3, p=p_new, mom_diag=new_mom_diag)
+    return new_state, metrics
+
+
+def _make_chunk_runner(mesh, settings, diff, n_steps, solver_extras):
+    """jit-compiled `lax.scan` over n_steps SIMPLE iterations."""
+
+    @jax.jit
+    def run(state, zone_codes, zone_scalar, zone_vector, rho, mu):
+        def body(s, _):
+            return simple_step(
+                mesh,
+                zone_codes,
+                zone_scalar,
+                zone_vector,
+                settings,
+                rho,
+                mu,
+                diff,
+                s,
+                solver_extras,
+            )
+
+        return lax.scan(body, state, None, length=n_steps)
+
+    return run
+
+
+def solve_steady(
+    mesh: CompiledMesh,
+    table: BoundaryTable,
+    settings: NumericalSettings,
+    rho: float,
+    mu: float,
+    state: Optional[FlowState] = None,
+    iterations: int = 10,
+    reporting_interval: int = 1,
+    verbose: bool = True,
+    check_divergence: bool = True,
+):
+    """Host driver for the steady SIMPLE loop
+    (reference: solver.rs:26-244 + report line solver.rs:206-216).
+
+    Returns (FlowState, list[StepMetrics-pytree per chunk]).
+    """
+    table.validate_supported()
+    reporting_interval = max(1, min(reporting_interval, iterations))
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    if state is None:
+        state = initial_state(mesh)
+
+    fbc = face_bc(mesh, zc, zs, zv)
+    diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
+
+    solver_extras = {}
+    if settings.matrix_solver.solver_type == SolutionMethod.GAUSS_SEIDEL:
+        from orc_tpu.solver.coloring import greedy_coloring
+
+        colors, n_colors = greedy_coloring(mesh)
+        solver_extras = dict(colors=colors, n_colors=n_colors)
+    elif settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
+        from orc_tpu.solver.amg import build_hierarchy
+
+        solver_extras = dict(
+            mg_hierarchy=build_hierarchy(mesh, diff, settings.matrix_solver)
+        )
+
+    run = _make_chunk_runner(
+        mesh, settings, diff, reporting_interval, solver_extras
+    )
+    history = []
+    done = 0
+    t0 = time.perf_counter()
+    while done < iterations:
+        n = min(reporting_interval, iterations - done)
+        if n != reporting_interval:
+            run = _make_chunk_runner(mesh, settings, diff, n, solver_extras)
+        state, metrics = run(state, zc, zs, zv, rho, mu)
+        jax.block_until_ready(state)
+        done += n
+        history.append(metrics)
+        if verbose:
+            dt_ms = (time.perf_counter() - t0) * 1e3 / n
+            t0 = time.perf_counter()
+            va = jax.device_get(metrics.vel_avg[-1])
+            print(
+                f"Iteration {done}: avg velocity = "
+                f"({va[0]:.2e}, {va[1]:.2e}, {va[2]:.2e})\t"
+                f"avg peclet = {float(metrics.peclet_avg[-1]):.1e}\t"
+                f"vel corr = {float(metrics.vel_corr_norm[-1]):.2e}\t"
+                f"p corr = {float(metrics.p_corr_norm[-1]):.2e}\t"
+                f"ms/iter = {dt_ms:.3g}"
+            )
+        if check_divergence and bool(jax.device_get(jnp.any(metrics.diverged))):
+            raise SolverDivergedError(done)
+    return state, history

@@ -7,8 +7,10 @@ TPU execution is covered by bench.py / the driver's compile checks.
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import. Force CPU: the ambient environment sets
+# JAX_PLATFORMS=axon (the tunneled TPU), which is reserved for bench runs
+# — running the test suite over the tunnel is slow and flaky.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,112 @@
+"""End-to-end physics validation: steady channel flow vs the analytical
+profile (the reference's de facto benchmark, tests.rs:44-152 /
+README.md:59-63), asserted rather than printed."""
+
+import numpy as np
+import pytest
+
+from orc_tpu.models.channel_flow import (
+    ChannelFlowParameters,
+    solve_channel_flow,
+)
+from orc_tpu.utils.settings import (
+    MatrixSolverSettings,
+    MomentumScheme,
+    NumericalSettings,
+    PreconditionMethod,
+    PressureInterpolation,
+    SolutionMethod,
+    VelocityInterpolation,
+)
+
+FAST_SOLVER = MatrixSolverSettings(
+    solver_type=SolutionMethod.BICGSTAB,
+    iterations=50,
+    preconditioner=PreconditionMethod.JACOBI,
+)
+ROBUST = NumericalSettings(
+    momentum=MomentumScheme.UD,
+    pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+    velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+    matrix_solver=FAST_SOLVER,
+    pressure_relaxation=0.03,
+)
+
+
+def run(params, settings=ROBUST, iterations=1500, **kw):
+    return solve_channel_flow(
+        params,
+        settings,
+        nx=8,
+        ny=8,
+        iterations=iterations,
+        reporting_interval=iterations,
+        validation_threshold=0.05,
+        verbose=False,
+        **kw,
+    )
+
+
+def test_poiseuille():
+    r = run(ChannelFlowParameters(top_wall_velocity=0.0, dp_dx=5.0))
+    assert r["passed"], {k: r[k] for k in ("u_mean", "u_mean_analytical", "u_min", "u_min_analytical", "u_max", "u_max_analytical")}
+
+
+def test_couette_moving_wall():
+    r = run(ChannelFlowParameters(top_wall_velocity=5e-4, dp_dx=0.0))
+    assert r["passed"], (r["u_mean"], r["u_mean_analytical"])
+    # Pure Couette: linear profile, u_mean = U/2.
+    assert abs(r["u_mean"] - 2.5e-4) / 2.5e-4 < 0.05
+
+
+def test_couette_plus_pressure_gradient():
+    r = run(ChannelFlowParameters(top_wall_velocity=5e-4, dp_dx=10.0))
+    assert r["passed"], (r["u_mean"], r["u_mean_analytical"])
+
+
+def test_default_schemes_rhie_chow_second_order():
+    """The reference's default numerics (CD1 + SecondOrder pressure +
+    Rhie-Chow, lib.rs:58-74) on the Poiseuille case."""
+    settings = NumericalSettings(
+        momentum=MomentumScheme.CD1,
+        pressure_interpolation=PressureInterpolation.SECOND_ORDER,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        matrix_solver=FAST_SOLVER,
+        pressure_relaxation=0.02,
+    )
+    r = run(
+        ChannelFlowParameters(top_wall_velocity=0.0, dp_dx=5.0),
+        settings=settings,
+        iterations=2500,
+    )
+    # Validate on the channel core: Rhie-Chow has documented artifacts
+    # at pressure inlet/outlet columns (reference: lib.rs:141-143).
+    for stat in ("mean", "min", "max"):
+        cfd = r[f"core_u_{stat}"]
+        ana = r[f"core_u_{stat}_analytical"]
+        assert abs(cfd - ana) / abs(ana) < 0.05, (stat, cfd, ana)
+
+
+def test_velocity_inlet_mass_conservation():
+    """Velocity-inlet variant (tests.rs:154-235): bulk velocity must
+    match the inlet velocity by mass conservation."""
+    from orc_tpu.models.channel_flow import couette_case
+    from orc_tpu.solver.init_fields import initialize_flow
+    from orc_tpu.solver.simple import solve_steady
+
+    params = ChannelFlowParameters(mu=0.001, rho=1000.0)
+    mesh, table = couette_case(nx=8, ny=8, params=params, velocity_inlet=1e-3)
+    state = initialize_flow(mesh, table, params.mu, params.rho)
+    state, _ = solve_steady(
+        mesh,
+        table,
+        ROBUST,
+        params.rho,
+        params.mu,
+        state=state,
+        iterations=1500,
+        reporting_interval=1500,
+        verbose=False,
+    )
+    u_mean = float(np.asarray(state.vel[:, 0]).mean())
+    assert abs(u_mean - 1e-3) / 1e-3 < 0.05, u_mean

@@ -1,0 +1,183 @@
+"""Linear-solver tests.
+
+Port of the reference's only cargo test, `validate_iterative_solvers`
+(linear_algebra.rs:309-378): a 100x100 diagonally-dominant system with
+known solution x_i = 2i, solved by each method to ||r|| < 1e-3 — and
+unlike the reference, multigrid and Gauss-Seidel must pass it too.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from orc_tpu.ops.spmv import EllMatrix
+from orc_tpu.solver.krylov import iterative_solve
+from orc_tpu.utils.settings import (
+    MatrixSolverSettings,
+    PreconditionMethod,
+    SolutionMethod,
+)
+
+TOL = 1e-3
+N = 100
+
+
+def reference_test_system():
+    """The tridiagonal-ish system of linear_algebra.rs:315-334."""
+    diag = np.ones(N)
+    neighbors = np.tile(np.arange(N)[:, None], (1, 2))
+    off = np.zeros((N, 2))
+    for i in range(N):
+        for s, j in enumerate((i - 1, i + 1)):
+            if 0 <= j < N and j != 0 and j != N - 1:
+                neighbors[i, s] = j
+                off[i, s] = -0.25
+    x_true = 2.0 * np.arange(N)
+    A = EllMatrix(
+        diag=jnp.asarray(diag),
+        off=jnp.asarray(off),
+        neighbors=jnp.asarray(neighbors, dtype=jnp.int32),
+    )
+    b = A.matvec(jnp.asarray(x_true))
+    return A, b, x_true
+
+
+def dense(A):
+    n = A.n
+    M = np.diag(np.asarray(A.diag))
+    off = np.asarray(A.off)
+    nbr = np.asarray(A.neighbors)
+    for i in range(n):
+        for k in range(nbr.shape[1]):
+            M[i, nbr[i, k]] += off[i, k]
+    return M
+
+
+def test_spmv_matches_dense():
+    A, b, x_true = reference_test_system()
+    M = dense(A)
+    x = np.random.default_rng(0).standard_normal(N)
+    np.testing.assert_allclose(np.asarray(A.matvec(jnp.asarray(x))), M @ x, rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "method",
+    [SolutionMethod.JACOBI, SolutionMethod.BICGSTAB, SolutionMethod.GAUSS_SEIDEL],
+)
+@pytest.mark.parametrize(
+    "precond", [PreconditionMethod.JACOBI, PreconditionMethod.NONE]
+)
+def test_reference_known_solution(method, precond):
+    A, b, x_true = reference_test_system()
+    settings = MatrixSolverSettings(
+        solver_type=method,
+        iterations=50,
+        relaxation=0.5,
+        relative_convergence_threshold=TOL / N**3,
+        preconditioner=precond,
+    )
+    kw = {}
+    if method == SolutionMethod.GAUSS_SEIDEL:
+        # 2-color (even/odd) is a valid coloring of a tridiagonal graph.
+        kw = dict(colors=jnp.asarray(np.arange(N) % 2), n_colors=2)
+    x, info = iterative_solve(A, b, jnp.zeros(N), settings, **kw)
+    r = np.asarray(A.matvec(x) - b)
+    assert np.linalg.norm(r) < TOL, f"{method}: |r|={np.linalg.norm(r)}"
+    assert not bool(info.diverged)
+
+
+def test_batched_solve_matches_individual():
+    """vmap'ed batched solve (how u/v/w are solved) must equal three
+    individual solves."""
+    import jax
+
+    A, b, x_true = reference_test_system()
+    rng = np.random.default_rng(1)
+    scale = jnp.asarray([1.0, 2.0, 0.5])
+    diag3 = A.diag * scale[:, None]
+    off3 = A.off * scale[:, None, None]
+    b3 = jnp.stack([b, b * 3.0, b - 1.0])
+    settings = MatrixSolverSettings(
+        solver_type=SolutionMethod.BICGSTAB,
+        iterations=40,
+        preconditioner=PreconditionMethod.JACOBI,
+    )
+
+    def solve_one(d, o, bb):
+        Ai = EllMatrix(diag=d, off=o, neighbors=A.neighbors)
+        x, info = iterative_solve(Ai, bb, jnp.zeros(N), settings)
+        return x
+
+    batched = jax.vmap(solve_one)(diag3, off3, b3)
+    for i in range(3):
+        single = solve_one(diag3[i], off3[i], b3[i])
+        np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(single), rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("restriction", ["strongest", "injection"])
+def test_multigrid_known_solution(restriction):
+    """The reference excludes Multigrid from this test because it fails
+    (linear_algebra.rs:344-345). Ours must pass it, with both
+    aggregation strategies."""
+    from orc_tpu.solver.amg import build_hierarchy_from_matrix
+    from orc_tpu.utils.settings import RestrictionMethod
+
+    A, b, x_true = reference_test_system()
+    settings = MatrixSolverSettings(
+        solver_type=SolutionMethod.MULTIGRID,
+        iterations=50,
+        relaxation=0.5,
+        relative_convergence_threshold=TOL / N**3,
+        preconditioner=PreconditionMethod.JACOBI,
+        multigrid_restriction=RestrictionMethod(restriction),
+    )
+    hierarchy = build_hierarchy_from_matrix(
+        np.asarray(A.diag), np.asarray(A.off), np.asarray(A.neighbors), settings
+    )
+    assert len(hierarchy) >= 1
+    x, info = iterative_solve(
+        A, b, jnp.zeros(N), settings, mg_hierarchy=hierarchy
+    )
+    r = np.asarray(A.matvec(x) - b)
+    assert np.linalg.norm(r) < TOL, np.linalg.norm(r)
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=5e-2)
+
+
+def test_multigrid_galerkin_matches_dense():
+    """A_c = R A R^T computed by the static scatter must equal the dense
+    triple product."""
+    from orc_tpu.solver.amg import (
+        build_hierarchy_from_matrix,
+        galerkin_values,
+    )
+
+    A, b, _ = reference_test_system()
+    settings = MatrixSolverSettings(solver_type=SolutionMethod.MULTIGRID)
+    hierarchy = build_hierarchy_from_matrix(
+        np.asarray(A.diag), np.asarray(A.off), np.asarray(A.neighbors), settings
+    )
+    lvl = hierarchy[0]
+    agg = np.asarray(lvl.agg)
+    n_c = lvl.n_coarse
+    R = np.zeros((n_c, N))
+    R[agg, np.arange(N)] = 1.0
+    dense_coarse = R @ dense(A) @ R.T
+    Ac = galerkin_values(A, lvl)
+    Mc = dense(Ac)
+    np.testing.assert_allclose(Mc, dense_coarse, rtol=1e-12, atol=1e-12)
+
+
+def test_jacobi_detects_divergence():
+    # A non-diagonally-dominant system that Jacobi blows up on.
+    diag = jnp.full((N,), 0.1)
+    A0, b, _ = reference_test_system()
+    A = EllMatrix(diag=diag, off=A0.off * 40.0, neighbors=A0.neighbors)
+    settings = MatrixSolverSettings(
+        solver_type=SolutionMethod.JACOBI,
+        iterations=200,
+        relaxation=1.0,
+        preconditioner=PreconditionMethod.NONE,
+    )
+    x, info = iterative_solve(A, b, jnp.zeros(N), settings)
+    assert bool(info.diverged)
