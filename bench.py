@@ -1,0 +1,115 @@
+"""Benchmark: SIMPLE iterations/sec on the couette_flow_128x64x1 case.
+
+Runs the reference's active configuration (velocity-inlet channel flow
+on the 128x64x1 mesh, main.rs:104-113) with the reference's default
+numerics (CD1 + SecondOrder pressure + Rhie-Chow + 50-iteration
+preconditioned solver, lib.rs:58-86) on the real TPU chip, and prints
+ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "iters/sec", "vs_baseline": N}
+
+The reference publishes no absolute numbers (BASELINE.md); the baseline
+below is this framework's own round-1 measurement, so vs_baseline
+tracks round-over-round improvement.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Round-1 self-generated baseline (iters/sec, this config, one v5e chip).
+BASELINE_ITERS_PER_SEC = None  # set after first recorded bench run
+
+REF_MESH = "/root/reference/examples/couette_flow_128x64x1.msh"
+
+
+def build_case():
+    from orc_tpu.mesh import read_mesh, structured_box_mesh
+    from orc_tpu.mesh.zones import FaceCondition
+
+    if os.path.exists(REF_MESH):
+        mesh, table = read_mesh(REF_MESH)
+    else:
+        mesh, table = structured_box_mesh(
+            128, 64, 1, lengths=(0.002, 0.001, 0.0001)
+        )
+    # BCs of the active reference case (tests.rs:168-188).
+    table.set("TOP_WALL", FaceCondition.WALL, vector_value=(0.0, 0.0, 0.0))
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set(
+        "INLET", FaceCondition.VELOCITY_INLET, vector_value=(1e-3, 0.0, 0.0)
+    )
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    return mesh, table
+
+
+def main():
+    import jax
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    from orc_tpu.solver.simple import initial_state, solve_steady
+    from orc_tpu.utils.settings import (
+        MatrixSolverSettings,
+        NumericalSettings,
+        PreconditionMethod,
+        SolutionMethod,
+    )
+
+    mesh, table = build_case()
+    settings = NumericalSettings(
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.MULTIGRID,
+            iterations=50,
+            preconditioner=PreconditionMethod.JACOBI,
+        )
+    )
+    rho, mu = 1000.0, 0.001
+    state = initial_state(mesh)
+
+    # Warmup chunk (compile + first run).
+    t0 = time.perf_counter()
+    state, _ = solve_steady(
+        mesh, table, settings, rho, mu, state=state,
+        iterations=5, reporting_interval=5, verbose=False,
+        check_divergence=False,
+    )
+    print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "100"))
+    t0 = time.perf_counter()
+    state, _ = solve_steady(
+        mesh, table, settings, rho, mu, state=state,
+        iterations=n_iters, reporting_interval=n_iters, verbose=False,
+        check_divergence=False,
+    )
+    dt = time.perf_counter() - t0
+    iters_per_sec = n_iters / dt
+    print(
+        f"{n_iters} SIMPLE iterations in {dt:.2f}s -> "
+        f"{iters_per_sec:.2f} iters/sec ({1e3*dt/n_iters:.2f} ms/iter)",
+        file=sys.stderr,
+    )
+
+    vs = (
+        iters_per_sec / BASELINE_ITERS_PER_SEC
+        if BASELINE_ITERS_PER_SEC
+        else 1.0
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "SIMPLE iters/sec, couette_128x64x1, "
+                "CD1+SecondOrder+RhieChow+AMG(50), f64",
+                "value": round(iters_per_sec, 3),
+                "unit": "iters/sec",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

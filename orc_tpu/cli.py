@@ -1,0 +1,154 @@
+"""Command-line interface.
+
+The reference's "CLI" is two positional args on a hard-coded case
+(main.rs:51-61, roadmap item "Implement CLI" unchecked, README.md:48).
+This is the real one:
+
+    orc-tpu run case.toml [--iterations N] [--devices N|all]
+    orc-tpu info mesh.msh
+    orc-tpu init-case > case.toml
+    orc-tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def cmd_run(args):
+    import jax
+
+    from orc_tpu.io.checkpoint import load_or_initialize, save_checkpoint
+    from orc_tpu.io.data import write_data, write_gradients
+    from orc_tpu.utils.config import build_problem, load_case
+
+    case = load_case(args.case)
+    if args.iterations:
+        case.iterations = args.iterations
+    if args.devices:
+        case.devices = args.devices
+    mesh, table = build_problem(case)
+    print(
+        f"mesh: {mesh.n_cells} cells / {mesh.n_faces} faces "
+        f"(K={mesh.max_faces_per_cell}, {mesh.dim}D)"
+    )
+    state = load_or_initialize(
+        case.data_file or case.checkpoint_file, mesh, table, case.mu, case.rho
+    )
+    t0 = time.perf_counter()
+    n_dev = (
+        len(jax.devices()) if case.devices == "all" else int(case.devices)
+    )
+    if n_dev > 1:
+        from orc_tpu.parallel.sharded import solve_steady_sharded
+
+        state, history = solve_steady_sharded(
+            mesh,
+            table,
+            case.settings,
+            case.rho,
+            case.mu,
+            state=state,
+            iterations=case.iterations,
+            reporting_interval=case.reporting_interval,
+            n_devices=n_dev,
+        )
+    else:
+        from orc_tpu.solver.simple import solve_steady
+
+        state, history = solve_steady(
+            mesh,
+            table,
+            case.settings,
+            case.rho,
+            case.mu,
+            state=state,
+            iterations=case.iterations,
+            reporting_interval=case.reporting_interval,
+        )
+    print(f"Complete in {time.perf_counter() - t0:.1f}s.")
+
+    if case.data_file:
+        write_data(case.data_file, mesh, state.vel, state.p)
+        print(f"wrote {case.data_file}")
+    if case.gradients_file:
+        from orc_tpu.ops.fields import device_bc, face_bc
+        from orc_tpu.ops.gradients import pressure_gradient, velocity_gradient
+
+        zc, zs, zv = device_bc(table, mesh.dtype)
+        fbc = face_bc(mesh, zc, zs, zv)
+        gv = velocity_gradient(
+            mesh, fbc, state.vel, case.settings.gradient_reconstruction
+        )
+        gp = pressure_gradient(
+            mesh, fbc, state.p, case.settings.gradient_reconstruction
+        )
+        write_gradients(case.gradients_file, mesh, gv, gp)
+        print(f"wrote {case.gradients_file}")
+    if case.checkpoint_file:
+        save_checkpoint(case.checkpoint_file, mesh, state, case.iterations)
+        print(f"wrote {case.checkpoint_file}")
+    return 0
+
+
+def cmd_info(args):
+    from orc_tpu.mesh import read_mesh
+
+    mesh, table = read_mesh(args.mesh, verbose=True)
+    import numpy as np
+
+    cc = np.asarray(mesh.cell_centroid)
+    print(
+        f"domain extents: x ({cc[:,0].min():.3e}, {cc[:,0].max():.3e})  "
+        f"y ({cc[:,1].min():.3e}, {cc[:,1].max():.3e})  "
+        f"z ({cc[:,2].min():.3e}, {cc[:,2].max():.3e})"
+    )
+    print(f"total volume: {np.asarray(mesh.cell_volume).sum():.6e}")
+    return 0
+
+
+def cmd_init_case(args):
+    from orc_tpu.utils.config import default_case_toml
+
+    sys.stdout.write(default_case_toml())
+    return 0
+
+
+def cmd_bench(args):
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="orc-tpu",
+        description="TPU-native unstructured finite-volume CFD",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="run a case file")
+    p_run.add_argument("case")
+    p_run.add_argument("--iterations", type=int, default=None)
+    p_run.add_argument("--devices", default=None)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_info = sub.add_parser("info", help="inspect a mesh")
+    p_info.add_argument("mesh")
+    p_info.set_defaults(fn=cmd_info)
+
+    p_init = sub.add_parser("init-case", help="print a default case file")
+    p_init.set_defaults(fn=cmd_init_case)
+
+    p_bench = sub.add_parser("bench", help="run the benchmark")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -152,14 +152,22 @@ def momentum_system(
     off = jnp.where(
         interior[..., None], a_nb + diff.off[..., None], 0.0
     )  # [C,K,3]
-    diag = a_p + diff.diag[:, None]  # [C,3]
-    b = s_u + diff.b  # [C,3]
+    # Inactive rows (padded / halo cells in sharded runs) get identity
+    # rows so the systems stay nonsingular and Krylov vectors stay zero
+    # off the owned set.
+    active = m.any(axis=1)
+    diag = jnp.where(
+        active[:, None], a_p + diff.diag[:, None], 1.0
+    )  # [C,3]
+    b = jnp.where(active[:, None], s_u + diff.b, 0.0)  # [C,3]
 
-    # "Peclet" stats = a_p / diffusion diagonal per component
-    # (discretization.rs:331-338).
-    pe = a_p / diff.diag[:, None]
-    stats = PecletStats(
-        avg=jnp.mean(pe), min=jnp.min(pe), max=jnp.max(pe)
+    # "Peclet" per cell/component = a_p / diffusion diagonal
+    # (discretization.rs:331-338); inactive rows excluded via NaN-free
+    # neutral values (stats are reduced by the caller).
+    pe = jnp.where(
+        active[:, None],
+        a_p / jnp.where(active, diff.diag, 1.0)[:, None],
+        0.0,
     )
 
     A = EllMatrix(
@@ -167,7 +175,7 @@ def momentum_system(
         off=jnp.moveaxis(off, -1, 0),  # [3,C,K]
         neighbors=mesh.cell_neighbors,
     )
-    return A, jnp.moveaxis(b, -1, 0), stats
+    return A, jnp.moveaxis(b, -1, 0), pe
 
 
 def _normal_momentum_coeff(mom_diag_c, n):
@@ -200,9 +208,12 @@ def pressure_correction_system(
     )
     a_nb = rho * area**2 / a_face
     a_bnd = rho * area**2 / a_c / 2.0
+    active = m.any(axis=1)
     diag = jnp.sum(
         jnp.where(interior, a_nb, jnp.where(m, a_bnd, 0.0)), axis=1
     )
+    diag = jnp.where(active, diag, 1.0)
+    b = jnp.where(active, b, 0.0)
     off = jnp.where(interior, -a_nb, 0.0)
     return EllMatrix(diag=diag, off=off, neighbors=mesh.cell_neighbors), b
 
@@ -238,6 +249,9 @@ def apply_pressure_correction(
 
     new_vel = vel + settings.momentum_relaxation * corr
     new_p = p + settings.pressure_relaxation * p_prime
-    p_corr_norm = jnp.linalg.norm(p_prime)
-    vel_corr_norm = jnp.sqrt(jnp.sum(corr * corr))
-    return new_vel, new_p, (p_corr_norm, vel_corr_norm)
+    # Correction norms over owned/active cells only (halo slots of a
+    # sharded run carry remote copies that must not be double-counted).
+    active = m.any(axis=1)
+    p_sq = jnp.sum(jnp.where(active, p_prime * p_prime, 0.0))
+    v_sq = jnp.sum(jnp.where(active[:, None], corr * corr, 0.0))
+    return new_vel, new_p, (p_sq, v_sq)

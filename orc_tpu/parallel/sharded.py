@@ -1,0 +1,236 @@
+"""Multi-device SIMPLE: shard_map over a 1-D device mesh.
+
+Cells are partitioned (orc_tpu.parallel.partition); every [C]-indexed
+array becomes a stacked [P, L] array sharded over the mesh axis. Inside
+`shard_map` each device runs the *identical* single-device step code
+(orc_tpu.solver.simple.simple_step) with a `ShardedComm` that:
+
+- refreshes halo slots via `lax.ppermute` ring exchanges (ICI traffic),
+- performs global reductions with `lax.psum`/`pmin`/`pmax` (BiCGSTAB
+  dot products, residual norms, metrics, divergence flags).
+
+This is the TPU-native equivalent of an NCCL/MPI layer (the reference
+is single-threaded; SURVEY.md 2 specifies this as a required
+first-class component of the rebuild).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from orc_tpu.mesh.zones import BoundaryTable
+from orc_tpu.ops.assembly import diffusion_system
+from orc_tpu.ops.fields import device_bc, face_bc
+from orc_tpu.parallel.partition import Partition
+from orc_tpu.solver.simple import (
+    FlowState,
+    SolverDivergedError,
+    simple_step,
+)
+from orc_tpu.utils.settings import NumericalSettings, SolutionMethod
+
+AXIS = "cells"
+
+
+class ShardedComm:
+    """Communication context used by simple_step inside shard_map."""
+
+    def __init__(self, partition: Partition, send_idx, recv_idx):
+        self.partition = partition
+        self.send_idx = send_idx  # per-device rows, [s_d] each
+        self.recv_idx = recv_idx
+
+    def refresh(self, x):
+        """Fill halo slots of x [L, ...] with owner-device values."""
+        n = self.partition.n_parts
+        for d, s_idx, r_idx in zip(
+            self.partition.offsets, self.send_idx, self.recv_idx
+        ):
+            buf = x[s_idx]
+            buf = lax.ppermute(
+                buf, AXIS, perm=[(p, (p + d) % n) for p in range(n)]
+            )
+            x = x.at[r_idx].set(buf)
+        return x
+
+    def axis_sum(self, v):
+        return lax.psum(v, AXIS)
+
+    def axis_min(self, v):
+        return lax.pmin(v, AXIS)
+
+    def axis_max(self, v):
+        if v.dtype == jnp.bool_:
+            return lax.pmax(v.astype(jnp.int32), AXIS).astype(jnp.bool_)
+        return lax.pmax(v, AXIS)
+
+
+def scatter_state(partition: Partition, state: FlowState) -> FlowState:
+    """Global FlowState [C] -> stacked local [P, L] (host-side)."""
+    og = np.asarray(partition.owned_global, dtype=np.int64)
+    om = np.asarray(partition.owned_mask)
+    Pn, c_max = og.shape
+    L = partition.local_size
+
+    def sc(arr):
+        arr = np.asarray(arr)
+        out = np.zeros((Pn, L) + arr.shape[1:], dtype=arr.dtype)
+        out[:, :c_max][om] = arr[og[om]]
+        return jnp.asarray(out)
+
+    return FlowState(
+        vel=sc(state.vel), p=sc(state.p), mom_diag=sc(state.mom_diag)
+    )
+
+
+def gather_state(partition: Partition, local: FlowState, n_cells: int) -> FlowState:
+    """Stacked local [P, L] -> global FlowState [C] (host-side)."""
+    og = np.asarray(partition.owned_global, dtype=np.int64)
+    om = np.asarray(partition.owned_mask)
+    c_max = og.shape[1]
+
+    def ga(arr):
+        arr = np.asarray(arr)
+        out = np.zeros((n_cells,) + arr.shape[2:], dtype=arr.dtype)
+        out[og[om]] = arr[:, :c_max][om]
+        return jnp.asarray(out)
+
+    return FlowState(
+        vel=ga(local.vel), p=ga(local.p), mom_diag=ga(local.mom_diag)
+    )
+
+
+def make_sharded_step(
+    partition: Partition,
+    settings: NumericalSettings,
+    device_mesh: Mesh,
+    n_steps: int = 1,
+):
+    """Build the jitted shard_map'ed n-step SIMPLE runner.
+
+    Returns run(local_state, zc, zs, zv, rho, mu) -> (state, metrics).
+    """
+    if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
+        raise NotImplementedError(
+            "multigrid is single-device for now; use BICGSTAB/JACOBI/"
+            "GAUSS_SEIDEL for sharded runs"
+        )
+    lm = partition.local_mesh
+
+    # Shard every stacked array's leading axis over the device mesh;
+    # zone tables and scalars are replicated.
+    shard = P(AXIS)
+    repl = P()
+
+    def step_fn(lmesh, send_idx, recv_idx, state, zc, zs, zv, rho, mu):
+        # shard_map delivers [1, ...] blocks: drop the part axis.
+        sq = lambda t: jax.tree.map(lambda a: a[0], t)
+        lmesh = sq(lmesh)
+        send_idx = sq(send_idx)
+        recv_idx = sq(recv_idx)
+        state = sq(state)
+        comm = ShardedComm(partition, send_idx, recv_idx)
+        fbc = face_bc(lmesh, zc, zs, zv)
+        diff = diffusion_system(lmesh, fbc, mu)
+
+        def body(s, _):
+            return simple_step(
+                lmesh, zc, zs, zv, settings, rho, mu, diff, s, comm=comm
+            )
+
+        state, metrics = lax.scan(body, state, None, length=n_steps)
+        add_axis = lambda t: jax.tree.map(lambda a: a[None], t)
+        return add_axis(state), metrics
+
+    mapped = jax.shard_map(
+        step_fn,
+        mesh=device_mesh,
+        in_specs=(shard, shard, shard, shard, repl, repl, repl, repl, repl),
+        out_specs=(shard, repl),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(local_state, zc, zs, zv, rho, mu):
+        return mapped(
+            lm,
+            partition.send_idx,
+            partition.recv_idx,
+            local_state,
+            zc,
+            zs,
+            zv,
+            rho,
+            mu,
+        )
+
+    return run
+
+
+def solve_steady_sharded(
+    mesh,
+    table: BoundaryTable,
+    settings: NumericalSettings,
+    rho: float,
+    mu: float,
+    state: Optional[FlowState] = None,
+    iterations: int = 10,
+    reporting_interval: int = 1,
+    n_devices: Optional[int] = None,
+    verbose: bool = True,
+    check_divergence: bool = True,
+):
+    """Multi-device drop-in for solve_steady: partitions the mesh over
+    all available devices, runs the sharded SIMPLE loop, and returns the
+    *global* FlowState plus metrics history."""
+    from orc_tpu.parallel.partition import partition_mesh
+    from orc_tpu.solver.simple import initial_state
+
+    table.validate_supported()
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    device_mesh = Mesh(np.array(devices), (AXIS,))
+    partition = partition_mesh(mesh, n)
+    reporting_interval = max(1, min(reporting_interval, iterations))
+
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    if state is None:
+        state = initial_state(mesh)
+    local = scatter_state(partition, state)
+
+    run = make_sharded_step(
+        partition, settings, device_mesh, n_steps=reporting_interval
+    )
+    history = []
+    done = 0
+    t0 = time.perf_counter()
+    while done < iterations:
+        k = min(reporting_interval, iterations - done)
+        if k != reporting_interval:
+            run = make_sharded_step(partition, settings, device_mesh, n_steps=k)
+        local, metrics = run(local, zc, zs, zv, rho, mu)
+        jax.block_until_ready(local)
+        done += k
+        history.append(metrics)
+        if verbose:
+            dt_ms = (time.perf_counter() - t0) * 1e3 / k
+            t0 = time.perf_counter()
+            va = jax.device_get(metrics.vel_avg[-1])
+            print(
+                f"[{n} devices] Iteration {done}: avg velocity = "
+                f"({va[0]:.2e}, {va[1]:.2e}, {va[2]:.2e})\t"
+                f"vel corr = {float(metrics.vel_corr_norm[-1]):.2e}\t"
+                f"p corr = {float(metrics.p_corr_norm[-1]):.2e}\t"
+                f"ms/iter = {dt_ms:.3g}"
+            )
+        if check_divergence and bool(jax.device_get(jnp.any(metrics.diverged))):
+            raise SolverDivergedError(done)
+    return gather_state(partition, local, mesh.n_cells), history

@@ -57,6 +57,19 @@ def _dot(a, b, axis_sum):
     return axis_sum(jnp.sum(a * b, axis=-1))
 
 
+def _no_refresh(x):
+    return x
+
+
+def _mv(A: EllMatrix, x, refresh):
+    """A @ x with a halo-refresh hook: neighbor gathers read the
+    refreshed vector (remote values at halo slots) while the diagonal
+    term uses the local vector, so halo rows (diag 1, off 0) keep
+    Krylov vectors identically zero outside owned cells."""
+    xr = refresh(x)
+    return A.diag * x + jnp.sum(A.off * xr[..., A.neighbors], axis=-1)
+
+
 def jacobi_solve(
     A: EllMatrix,
     b,
@@ -65,6 +78,7 @@ def jacobi_solve(
     relaxation,
     convergence_threshold,
     axis_sum=_identity_sum,
+    refresh=_no_refresh,
 ):
     """Relaxed Jacobi with the reference's convergence semantics
     (linear_algebra.rs:172-218): the baseline residual is recorded after
@@ -75,9 +89,10 @@ def jacobi_solve(
 
     def body(state):
         x, it, base_r, done, diverged = state
-        ax_off = jnp.sum(A.off * x[..., A.neighbors], axis=-1)
+        ax = _mv(A, x, refresh)
+        ax_off = ax - A.diag * x
         x_new = relaxation * (b_prime - ax_off * inv_diag) + (1.0 - relaxation) * x
-        r = _norm(b - A.matvec(x_new), axis_sum)
+        r = _norm(b - _mv(A, x_new, refresh), axis_sum)
         base_r = jnp.where(it == 1, r, base_r)
         conv = (it >= 2) & (r / base_r < convergence_threshold)
         max_abs = jnp.max(jnp.abs(x_new))
@@ -106,7 +121,7 @@ def jacobi_solve(
             jnp.zeros((), bool),
         ),
     )
-    r = _norm(b - A.matvec(x), axis_sum)
+    r = _norm(b - _mv(A, x, refresh), axis_sum)
     return x, SolveInfo(iterations=it, residual=r, diverged=diverged)
 
 
@@ -117,6 +132,7 @@ def bicgstab_solve(
     iterations: int,
     axis_sum=_identity_sum,
     convergence_threshold: float = 1e-14,
+    refresh=_no_refresh,
 ):
     """Textbook BiCGSTAB with r_hat0 = ones
     (reference: linear_algebra.rs:247-269). Unlike the reference (fixed
@@ -124,7 +140,7 @@ def bicgstab_solve(
     breakdown guards: once the residual (or a Krylov denominator)
     underflows, continuing produces 0/0 -> NaN and poisons the solution,
     so the iteration freezes instead."""
-    r0 = b - A.matvec(x0)
+    r0 = b - _mv(A, x0, refresh)
     r_hat = jnp.ones_like(b)
     rho0 = _dot(r0, r_hat, axis_sum)
     bnorm = _norm(b, axis_sum)
@@ -135,12 +151,12 @@ def bicgstab_solve(
 
     def body(state):
         x, r, p, rho, it, done = state
-        nu = A.matvec(p)
+        nu = _mv(A, p, refresh)
         d_rn = _dot(r_hat, nu, axis_sum)
         alpha = _safe_div(rho, d_rn)
         h = x + alpha * p
         s = r - alpha * nu
-        t = A.matvec(s)
+        t = _mv(A, s, refresh)
         d_tt = _dot(t, t, axis_sum)
         omega = _safe_div(_dot(t, s, axis_sum), d_tt)
         x_new = h + omega * s
@@ -170,7 +186,7 @@ def bicgstab_solve(
     x, r, _, _, it, _ = lax.while_loop(
         cond, body, (x0, r0, r0, rho0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     )
-    rn = _norm(b - A.matvec(x), axis_sum)
+    rn = _norm(b - _mv(A, x, refresh), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
     return x, SolveInfo(iterations=it, residual=rn, diverged=diverged)
 
@@ -184,6 +200,7 @@ def gauss_seidel_solve(
     colors,  # [C] i32 color of each row (host-precomputed greedy coloring)
     n_colors: int,
     axis_sum=_identity_sum,
+    refresh=_no_refresh,
 ):
     """Multi-color Gauss-Seidel: rows of one color update simultaneously
     using the latest values of all other colors — the parallelizable
@@ -192,13 +209,13 @@ def gauss_seidel_solve(
 
     def sweep(x):
         for c in range(n_colors):
-            ax_off = jnp.sum(A.off * x[..., A.neighbors], axis=-1)
+            ax_off = _mv(A, x, refresh) - A.diag * x
             x_gs = (1.0 - relaxation) * x + relaxation * (b - ax_off) / A.diag
             x = jnp.where(colors == c, x_gs, x)
         return x
 
     x = lax.fori_loop(0, iterations, lambda i, x: sweep(x), x0)
-    rn = _norm(b - A.matvec(x), axis_sum)
+    rn = _norm(b - _mv(A, x, refresh), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
     return x, SolveInfo(
         iterations=jnp.asarray(iterations, jnp.int32), residual=rn, diverged=diverged
@@ -214,6 +231,7 @@ def iterative_solve(
     n_colors: int = 0,
     axis_sum=_identity_sum,
     mg_hierarchy=None,
+    refresh=_no_refresh,
 ):
     """Solver dispatch mirroring the reference's `iterative_solve`
     (linear_algebra.rs:143-299). Handles a single system; vmap for
@@ -231,9 +249,12 @@ def iterative_solve(
             settings.relaxation,
             settings.relative_convergence_threshold,
             axis_sum,
+            refresh,
         )
     if method == SolutionMethod.BICGSTAB:
-        return bicgstab_solve(A, b, x0, settings.iterations, axis_sum)
+        return bicgstab_solve(
+            A, b, x0, settings.iterations, axis_sum, refresh=refresh
+        )
     if method == SolutionMethod.GAUSS_SEIDEL:
         if colors is None:
             raise ValueError(
@@ -249,6 +270,7 @@ def iterative_solve(
             colors,
             n_colors,
             axis_sum,
+            refresh,
         )
     if method == SolutionMethod.MULTIGRID:
         from orc_tpu.solver.amg import multigrid_solve

@@ -49,6 +49,27 @@ from orc_tpu.utils.settings import (
 )
 
 
+class NullComm:
+    """Single-device communication context: no halo, local reductions.
+
+    The sharded runtime (orc_tpu.parallel) substitutes an object with a
+    `ppermute`-based `refresh` and `psum`/`pmin`/`pmax` reductions; the
+    step code is identical in both cases (SPMD by construction).
+    """
+
+    def refresh(self, x):
+        return x
+
+    def axis_sum(self, v):
+        return v
+
+    def axis_min(self, v):
+        return v
+
+    def axis_max(self, v):
+        return v
+
+
 class SolverDivergedError(RuntimeError):
     def __init__(self, iteration: int):
         super().__init__(f"solution diverged at iteration {iteration}")
@@ -108,19 +129,32 @@ def simple_step(
     diff: DiffusionSystem,
     state: FlowState,
     solver_extras: Optional[dict] = None,
+    comm: Optional[NullComm] = None,
 ):
     """One SIMPLE iteration. Traceable; all arguments but `settings`
-    (static) and `solver_extras` (aux pytrees) are device data."""
+    (static), `solver_extras` (aux pytrees) and `comm` are device data.
+    Runs unchanged on one device (comm=NullComm) or inside `shard_map`
+    with cells partitioned across a device mesh."""
     solver_extras = solver_extras or {}
+    comm = comm or NullComm()
     fbc = face_bc(mesh, zone_codes, zone_scalar, zone_vector)
+    active = mesh.cell_face_mask.any(axis=1)  # owned, non-padded cells
+
+    vel = comm.refresh(state.vel)
+    p = comm.refresh(state.p)
+    mom_diag = comm.refresh(state.mom_diag)
 
     grad_p = (
-        pressure_gradient(mesh, fbc, state.p, settings.gradient_reconstruction)
+        comm.refresh(
+            pressure_gradient(mesh, fbc, p, settings.gradient_reconstruction)
+        )
         if _needs_grad_p(settings)
         else None
     )
     grad_v = (
-        velocity_gradient(mesh, fbc, state.vel, settings.gradient_reconstruction)
+        comm.refresh(
+            velocity_gradient(mesh, fbc, vel, settings.gradient_reconstruction)
+        )
         if settings.momentum == MomentumScheme.TVD
         else None
     )
@@ -128,31 +162,37 @@ def simple_step(
     flux = face_flux(
         mesh,
         fbc,
-        state.vel,
+        vel,
         settings.velocity_interpolation,
-        p=state.p,
+        p=p,
         grad_p=grad_p,
-        mom_diag=state.mom_diag,
+        mom_diag=mom_diag,
     )
     p_f = face_pressure(
-        mesh, fbc, state.p, settings.pressure_interpolation, grad_p=grad_p
+        mesh, fbc, p, settings.pressure_interpolation, grad_p=grad_p
     )
 
-    A3, b3, peclet = momentum_system(
-        mesh, fbc, settings, rho, state.vel, flux, p_f, diff, grad_vel=grad_v
+    A3, b3, pe = momentum_system(
+        mesh, fbc, settings, rho, vel, flux, p_f, diff, grad_vel=grad_v
     )
 
     # Batched momentum solve over the shared sparsity.
     def solve_one(diag, off, b, x0):
         Ai = EllMatrix(diag=diag, off=off, neighbors=A3.neighbors)
         return iterative_solve(
-            Ai, b, x0, settings.matrix_solver, **solver_extras
+            Ai,
+            b,
+            x0,
+            settings.matrix_solver,
+            axis_sum=comm.axis_sum,
+            refresh=comm.refresh,
+            **solver_extras,
         )
 
-    x0 = jnp.moveaxis(state.vel, -1, 0)  # [3,C]
+    x0 = jnp.where(active[None, :], jnp.moveaxis(vel, -1, 0), 0.0)  # [3,C]
     sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
-    new_vel = jnp.moveaxis(sol, 0, -1)
-    new_mom_diag = jnp.moveaxis(A3.diag, 0, -1)
+    new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
+    new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
 
     # Pressure-correction system with post-solve velocities and the new
     # momentum diagonals (reference: solver.rs:137-148).
@@ -161,31 +201,49 @@ def simple_step(
         fbc,
         new_vel,
         settings.velocity_interpolation,
-        p=state.p,
+        p=p,
         grad_p=grad_p,
         mom_diag=new_mom_diag,
     )
     Pmat, b_p = pressure_correction_system(mesh, fbc, rho, flux2, new_mom_diag)
-    p_prime0 = jnp.zeros_like(state.p)
+    p_prime0 = jnp.zeros_like(p)
     p_prime, p_info = iterative_solve(
-        Pmat, b_p, p_prime0, settings.matrix_solver, **solver_extras
+        Pmat,
+        b_p,
+        p_prime0,
+        settings.matrix_solver,
+        axis_sum=comm.axis_sum,
+        refresh=comm.refresh,
+        **solver_extras,
+    )
+    p_prime = comm.refresh(p_prime)
+
+    vel3, p_new, (p_corr_sq, vel_corr_sq) = apply_pressure_correction(
+        mesh, fbc, settings, p_prime, new_mom_diag, new_vel, p
     )
 
-    vel3, p_new, (p_corr_norm, vel_corr_norm) = apply_pressure_correction(
-        mesh, fbc, settings, p_prime, new_mom_diag, new_vel, state.p
+    n_active = comm.axis_sum(jnp.sum(active))
+    vel_avg = (
+        comm.axis_sum(jnp.sum(jnp.where(active[:, None], vel3, 0.0), axis=0))
+        / n_active
     )
-
-    vel_avg = jnp.mean(vel3, axis=0)
+    pe_avg = comm.axis_sum(jnp.sum(pe)) / (3.0 * n_active)
+    inf = jnp.asarray(jnp.inf, pe.dtype)
+    pe_min = comm.axis_min(jnp.min(jnp.where(active[:, None], pe, inf)))
+    pe_max = comm.axis_max(jnp.max(jnp.where(active[:, None], pe, -inf)))
+    p_corr_norm = jnp.sqrt(comm.axis_sum(p_corr_sq))
+    vel_corr_norm = jnp.sqrt(comm.axis_sum(vel_corr_sq))
     diverged = (
         jnp.any(jnp.isnan(vel_avg))
         | jnp.any(info.diverged)
         | p_info.diverged
     )
+    diverged = comm.axis_max(diverged)
     metrics = StepMetrics(
         vel_avg=vel_avg,
-        peclet_avg=peclet.avg,
-        peclet_min=peclet.min,
-        peclet_max=peclet.max,
+        peclet_avg=pe_avg,
+        peclet_min=pe_min,
+        peclet_max=pe_max,
         p_corr_norm=p_corr_norm,
         vel_corr_norm=vel_corr_norm,
         mom_residual=info.residual,

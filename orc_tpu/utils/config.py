@@ -1,0 +1,276 @@
+"""TOML case files: mesh + boundary conditions + fluid + numerics.
+
+The reference has no file-based configuration — settings are Rust
+structs edited in source, BCs are set programmatically, and
+`read_settings`/`write_settings` are empty stubs (io.rs:517,664;
+README.md:49,51). This module provides the real thing: a complete case
+is one declarative TOML file.
+
+Example:
+
+    [case]
+    mesh = "examples/couette_flow_128x64x1.msh"
+    iterations = 1000
+    reporting_interval = 100
+
+    [fluid]
+    rho = 1000.0
+    mu = 0.001
+
+    [numerics]
+    momentum = "cd1"            # ud | cd1 | tvd_lud | tvd_quick | tvd_umist
+    pressure_interpolation = "second_order"
+    velocity_interpolation = "rhie_chow"
+    pressure_relaxation = 0.01
+
+    [numerics.solver]
+    type = "multigrid"          # jacobi | gauss_seidel | bicgstab | multigrid
+    iterations = 50
+
+    [boundaries.TOP_WALL]
+    type = "wall"
+    velocity = [1e-3, 0.0, 0.0]
+
+    [boundaries.INLET]
+    type = "pressure_inlet"
+    pressure = 10.0
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+from orc_tpu.mesh.zones import FaceCondition
+from orc_tpu.utils.settings import (
+    DiffusionScheme,
+    GradientReconstruction,
+    MatrixSolverSettings,
+    MomentumScheme,
+    NumericalSettings,
+    PreconditionMethod,
+    PressureInterpolation,
+    RestrictionMethod,
+    SolutionMethod,
+    VelocityInterpolation,
+    tvd_lud,
+    tvd_quick,
+    tvd_umist,
+)
+
+_BC_TYPES = {
+    "interior": FaceCondition.INTERIOR,
+    "wall": FaceCondition.WALL,
+    "pressure_inlet": FaceCondition.PRESSURE_INLET,
+    "pressure_outlet": FaceCondition.PRESSURE_OUTLET,
+    "symmetry": FaceCondition.SYMMETRY,
+    "velocity_inlet": FaceCondition.VELOCITY_INLET,
+}
+
+_MOMENTUM = {
+    "ud": (MomentumScheme.UD, None),
+    "cd1": (MomentumScheme.CD1, None),
+    "cd2": (MomentumScheme.CD2, None),
+    "tvd_lud": (MomentumScheme.TVD, tvd_lud),
+    "tvd_quick": (MomentumScheme.TVD, tvd_quick),
+    "tvd_umist": (MomentumScheme.TVD, tvd_umist),
+}
+
+
+@dataclasses.dataclass
+class Case:
+    mesh_path: Optional[str]
+    generate: Optional[dict]  # {nx, ny, nz, lengths}
+    iterations: int
+    reporting_interval: int
+    data_file: Optional[str]
+    gradients_file: Optional[str]
+    checkpoint_file: Optional[str]
+    rho: float
+    mu: float
+    settings: NumericalSettings
+    boundaries: Dict[str, dict]
+    devices: Any  # int | "all"
+
+
+def _enum_of(table: dict, value: str, what: str):
+    try:
+        return table[value.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown {what} '{value}'; options: {sorted(table)}"
+        ) from None
+
+
+def parse_case(text: str) -> Case:
+    import tomllib
+
+    doc = tomllib.loads(text)
+    case = doc.get("case", {})
+    fluid = doc.get("fluid", {})
+    num = doc.get("numerics", {})
+    sol = num.get("solver", {})
+    run = doc.get("run", {})
+
+    momentum, psi = _enum_of(_MOMENTUM, num.get("momentum", "cd1"), "momentum scheme")
+    solver = MatrixSolverSettings(
+        solver_type=_enum_of(
+            {m.value: m for m in SolutionMethod},
+            sol.get("type", "multigrid"),
+            "solver",
+        ),
+        iterations=int(sol.get("iterations", 50)),
+        relaxation=float(sol.get("relaxation", 0.5)),
+        relative_convergence_threshold=float(sol.get("convergence", 1e-3)),
+        preconditioner=_enum_of(
+            {m.value: m for m in PreconditionMethod},
+            sol.get("preconditioner", "jacobi"),
+            "preconditioner",
+        ),
+        multigrid_levels=int(sol.get("multigrid_levels", 3)),
+        multigrid_restriction=_enum_of(
+            {m.value: m for m in RestrictionMethod},
+            sol.get("multigrid_restriction", "strongest"),
+            "restriction",
+        ),
+    )
+    settings = NumericalSettings(
+        momentum=momentum,
+        tvd_psi=psi,
+        diffusion=DiffusionScheme.CD,
+        pressure_interpolation=_enum_of(
+            {m.value: m for m in PressureInterpolation},
+            num.get("pressure_interpolation", "second_order"),
+            "pressure interpolation",
+        ),
+        velocity_interpolation=_enum_of(
+            {m.value: m for m in VelocityInterpolation},
+            num.get("velocity_interpolation", "rhie_chow"),
+            "velocity interpolation",
+        ),
+        gradient_reconstruction=_enum_of(
+            {m.value: m for m in GradientReconstruction},
+            num.get("gradient_reconstruction", "green_gauss_cell"),
+            "gradient reconstruction",
+        ),
+        momentum_relaxation=float(num.get("momentum_relaxation", 0.5)),
+        pressure_relaxation=float(num.get("pressure_relaxation", 0.01)),
+        matrix_solver=solver,
+    )
+
+    gen = case.get("generate")
+    mesh_path = case.get("mesh")
+    if not mesh_path and not gen:
+        raise ValueError("case must specify `mesh` or `generate`")
+    return Case(
+        mesh_path=mesh_path,
+        generate=gen,
+        iterations=int(case.get("iterations", 100)),
+        reporting_interval=int(case.get("reporting_interval", 10)),
+        data_file=case.get("data_file"),
+        gradients_file=case.get("gradients_file"),
+        checkpoint_file=case.get("checkpoint_file"),
+        rho=float(fluid.get("rho", 1000.0)),
+        mu=float(fluid.get("mu", 0.001)),
+        settings=settings,
+        boundaries=doc.get("boundaries", {}),
+        devices=run.get("devices", 1),
+    )
+
+
+def load_case(path: str) -> Case:
+    with open(path) as f:
+        return parse_case(f.read())
+
+
+def build_problem(case: Case):
+    """(mesh, table) with BCs from the case file applied."""
+    if case.mesh_path:
+        from orc_tpu.mesh import read_mesh
+
+        mesh, table = read_mesh(case.mesh_path)
+    else:
+        from orc_tpu.mesh import structured_box_mesh
+
+        g = dict(case.generate)
+        mesh, table = structured_box_mesh(
+            int(g.get("nx", 8)),
+            int(g.get("ny", 8)),
+            int(g.get("nz", 1)),
+            lengths=tuple(g.get("lengths", (1.0, 1.0, 1.0))),
+        )
+    for name, spec in case.boundaries.items():
+        kind = _enum_of(_BC_TYPES, spec.get("type", "wall"), "BC type")
+        table.set(
+            name,
+            kind,
+            scalar_value=spec.get("pressure"),
+            vector_value=spec.get("velocity"),
+        )
+    return mesh, table
+
+
+def default_case_toml() -> str:
+    """A complete, commented default case file (the `write_settings`
+    the reference never implemented)."""
+    return """\
+[case]
+# A TGRID mesh file (or replace with the [case.generate] block below).
+mesh = "examples/couette_flow_128x64x1.msh"
+iterations = 1000
+reporting_interval = 100
+data_file = "out/solution.csv"        # also the warm-start source
+gradients_file = "out/gradients.csv"
+checkpoint_file = "out/checkpoint.npz"
+
+# Alternative to `mesh`: generate a structured box. NOTE: keep this
+# sub-table *after* the plain [case] keys (TOML table scoping).
+# [case.generate]
+# nx = 128
+# ny = 64
+# nz = 1
+# lengths = [0.002, 0.001, 0.0001]
+
+[fluid]
+rho = 1000.0
+mu = 0.001
+
+[numerics]
+momentum = "cd1"                      # ud | cd1 | tvd_lud | tvd_quick | tvd_umist
+pressure_interpolation = "second_order"  # linear | linear_weighted | second_order
+velocity_interpolation = "rhie_chow"  # linear | linear_weighted | rhie_chow
+gradient_reconstruction = "green_gauss_cell"  # green_gauss_cell | least_squares
+momentum_relaxation = 0.5
+pressure_relaxation = 0.01
+
+[numerics.solver]
+type = "multigrid"                    # jacobi | gauss_seidel | bicgstab | multigrid
+iterations = 50
+relaxation = 0.5
+convergence = 1e-3
+preconditioner = "jacobi"             # none | jacobi
+
+[boundaries.TOP_WALL]
+type = "wall"
+velocity = [0.0, 0.0, 0.0]
+
+[boundaries.BOTTOM_WALL]
+type = "wall"
+
+[boundaries.INLET]
+type = "velocity_inlet"
+velocity = [1e-3, 0.0, 0.0]
+
+[boundaries.OUTLET]
+type = "pressure_outlet"
+pressure = 0.0
+
+[boundaries."PERIODIC_-Z"]
+type = "symmetry"
+
+[boundaries."PERIODIC_+Z"]
+type = "symmetry"
+
+[run]
+devices = 1                           # or "all" for a sharded run
+"""

@@ -1,0 +1,150 @@
+"""CLI + case-file tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from orc_tpu.utils.config import build_problem, default_case_toml, parse_case
+from orc_tpu.utils.settings import (
+    MomentumScheme,
+    PressureInterpolation,
+    SolutionMethod,
+    VelocityInterpolation,
+)
+
+CASE = """
+[case]
+iterations = 40
+reporting_interval = 20
+[case.generate]
+nx = 6
+ny = 6
+nz = 1
+lengths = [0.002, 0.001, 0.0001]
+
+[fluid]
+rho = 1000.0
+mu = 0.001
+
+[numerics]
+momentum = "ud"
+pressure_interpolation = "linear_weighted"
+velocity_interpolation = "linear_weighted"
+pressure_relaxation = 0.03
+
+[numerics.solver]
+type = "bicgstab"
+iterations = 30
+
+[boundaries.TOP_WALL]
+type = "wall"
+velocity = [5e-4, 0.0, 0.0]
+
+[boundaries.BOTTOM_WALL]
+type = "wall"
+
+[boundaries.INLET]
+type = "pressure_inlet"
+pressure = 0.01
+
+[boundaries.OUTLET]
+type = "pressure_outlet"
+pressure = 0.0
+
+[boundaries."PERIODIC_-Z"]
+type = "symmetry"
+
+[boundaries."PERIODIC_+Z"]
+type = "symmetry"
+"""
+
+
+def test_parse_case():
+    case = parse_case(CASE)
+    assert case.iterations == 40
+    assert case.settings.momentum == MomentumScheme.UD
+    assert case.settings.matrix_solver.solver_type == SolutionMethod.BICGSTAB
+    assert case.settings.pressure_relaxation == 0.03
+    mesh, table = build_problem(case)
+    assert mesh.n_cells == 36
+    fz = table.zone_by_name("TOP_WALL")
+    assert fz.vector_value == (5e-4, 0.0, 0.0)
+
+
+def test_default_case_parses():
+    case = parse_case(default_case_toml().replace(
+        'mesh = "examples/couette_flow_128x64x1.msh"', ""
+    ).replace("# [case.generate]", "[case.generate]").replace(
+        "# nx = 128", "nx = 4"
+    ).replace("# ny = 64", "ny = 4").replace("# nz = 1", "nz = 1").replace(
+        "# lengths = [0.002, 0.001, 0.0001]", "lengths = [0.002, 0.001, 0.0001]"
+    ))
+    assert case.settings.velocity_interpolation == VelocityInterpolation.RHIE_CHOW
+    assert case.settings.pressure_interpolation == PressureInterpolation.SECOND_ORDER
+
+
+def test_bad_scheme_message():
+    with pytest.raises(ValueError, match="unknown momentum scheme 'warp'"):
+        parse_case("[case]\nmesh='x'\n[numerics]\nmomentum='warp'\n")
+
+
+def test_cli_run_end_to_end(tmp_path):
+    """Drive the CLI as a subprocess: run a small case, write outputs,
+    then warm-restart from them."""
+    case_path = tmp_path / "case.toml"
+    data = tmp_path / "sol.csv"
+    ck = tmp_path / "ck.npz"
+    case_path.write_text(
+        CASE
+        + f'\n[case.outputs]\n'
+    )
+    # Append output paths into [case] (tomllib requires them inside the
+    # table, so rebuild the text).
+    text = CASE.replace(
+        "[case]",
+        f'[case]\ndata_file = "{data}"\ncheckpoint_file = "{ck}"',
+        1,
+    )
+    case_path.write_text(text)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "orc_tpu", "run", str(case_path)],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert data.exists() and ck.exists()
+    assert "Complete in" in out.stdout
+    # Warm restart must pick up the data file.
+    out2 = subprocess.run(
+        [sys.executable, "-m", "orc_tpu", "run", str(case_path),
+         "--iterations", "5"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+
+
+def test_cli_init_case():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "orc_tpu", "init-case"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0
+    assert "[numerics.solver]" in out.stdout
