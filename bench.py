@@ -49,6 +49,12 @@ def build_case():
 def main():
     import jax
 
+    # Persistent compilation cache: the AMG graph takes minutes to
+    # compile cold; cached recompiles are seconds.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/orc_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     print(f"devices: {jax.devices()}", file=sys.stderr)
     from orc_tpu.solver.simple import initial_state, solve_steady
     from orc_tpu.utils.settings import (

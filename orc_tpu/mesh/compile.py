@@ -68,6 +68,11 @@ class CompiledMesh:
     cell_neighbors: jax.Array  # [C,K] i32 (self at boundary/padded slots)
     # --- static metadata ---
     dim: int = dataclasses.field(metadata=dict(static=True))
+    # Constant per-column neighbor index deltas when the adjacency is
+    # structured (see EllMatrix.offsets); None for irregular meshes.
+    neighbor_offsets: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def n_cells(self) -> int:
@@ -196,6 +201,18 @@ def compile_from_arrays(
         is_int_entry
     ]
 
+    entry_interior = interior[cell_faces] & cell_face_mask
+    structured = _structure_ell(
+        cell_faces, cell_face_mask, cell_face_sign, cell_neighbors,
+        entry_interior,
+    )
+    if structured is not None:
+        offsets, cell_faces, cell_face_mask, cell_face_sign, cell_neighbors = (
+            structured
+        )
+    else:
+        offsets = None
+
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
 
@@ -218,4 +235,59 @@ def compile_from_arrays(
         cell_face_sign=f(cell_face_sign),
         cell_neighbors=i32(cell_neighbors),
         dim=dim,
+        neighbor_offsets=offsets,
     )
+
+
+def _structure_ell(cell_faces, mask, sign, nbrs, entry_interior):
+    """Detect a structured adjacency and reorder ELL columns so every
+    interior entry in column k satisfies neighbor == cell + d_k.
+
+    Returns (offsets, faces, mask, sign, neighbors) with per-row
+    entries permuted, or None if the mesh is irregular. Entry order
+    within a row is semantically irrelevant to assembly (all [C,K] ops
+    reduce symmetrically over k); only the SpMV shift path cares.
+    """
+    C, K = nbrs.shape
+    if C == 0 or not entry_interior.any():
+        return None
+    delta = nbrs - np.arange(C)[:, None]
+    cand = np.unique(delta[entry_interior])
+    if len(cand) > K:
+        return None
+    rows, cols = np.nonzero(entry_interior)
+    tgt = np.searchsorted(cand, delta[rows, cols])
+    key = rows * K + tgt
+    if len(np.unique(key)) != len(key):
+        return None  # two same-offset neighbors in one row: irregular
+
+    new_f = np.zeros_like(cell_faces)
+    new_m = np.zeros_like(mask)
+    new_s = np.zeros_like(sign)
+    new_n = np.tile(np.arange(C, dtype=nbrs.dtype)[:, None], (1, K))
+    used = np.zeros((C, K), dtype=bool)
+    new_f[rows, tgt] = cell_faces[rows, cols]
+    new_m[rows, tgt] = True
+    new_s[rows, tgt] = sign[rows, cols]
+    new_n[rows, tgt] = nbrs[rows, cols]
+    used[rows, tgt] = True
+
+    # Boundary entries fill each row's free columns in order (their
+    # matrix coefficients are structurally zero, so their column offset
+    # is irrelevant to the shift SpMV).
+    brows, bcols = np.nonzero(mask & ~entry_interior)
+    if len(brows):
+        free_rows, free_cols = np.nonzero(~used)
+        ord_b = np.arange(len(brows)) - np.searchsorted(brows, brows)
+        ord_f = np.arange(len(free_rows)) - np.searchsorted(free_rows, free_rows)
+        slot_lookup = np.full((C, K), -1, dtype=np.int64)
+        slot_lookup[free_rows, ord_f] = free_cols
+        j = slot_lookup[brows, ord_b]
+        assert (j >= 0).all()
+        new_f[brows, j] = cell_faces[brows, bcols]
+        new_m[brows, j] = True
+        new_s[brows, j] = sign[brows, bcols]
+        new_n[brows, j] = nbrs[brows, bcols]
+
+    offsets = tuple(int(d) for d in cand) + (0,) * (K - len(cand))
+    return offsets, new_f, new_m, new_s, new_n

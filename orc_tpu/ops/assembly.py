@@ -146,6 +146,10 @@ def momentum_system(
         ),
         axis=1,
     )
+    # User momentum source hook (reference: get_momentum_source_term,
+    # solver.rs:698-701 / discretization.rs:171).
+    if settings.momentum_source is not None:
+        s_u = s_u + settings.momentum_source(mesh.cell_centroid)
 
     # Assemble per-component ELL matrices: off-diag = a_nb + diffusion
     # off-diag at interior slots; diag = a_p + diffusion diag.
@@ -174,6 +178,7 @@ def momentum_system(
         diag=jnp.moveaxis(diag, -1, 0),  # [3,C]
         off=jnp.moveaxis(off, -1, 0),  # [3,C,K]
         neighbors=mesh.cell_neighbors,
+        offsets=mesh.neighbor_offsets,
     )
     return A, jnp.moveaxis(b, -1, 0), pe
 
@@ -215,7 +220,15 @@ def pressure_correction_system(
     diag = jnp.where(active, diag, 1.0)
     b = jnp.where(active, b, 0.0)
     off = jnp.where(interior, -a_nb, 0.0)
-    return EllMatrix(diag=diag, off=off, neighbors=mesh.cell_neighbors), b
+    return (
+        EllMatrix(
+            diag=diag,
+            off=off,
+            neighbors=mesh.cell_neighbors,
+            offsets=mesh.neighbor_offsets,
+        ),
+        b,
+    )
 
 
 def apply_pressure_correction(

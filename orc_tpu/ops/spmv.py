@@ -30,11 +30,23 @@ class EllMatrix:
 
     diag: [..., C];  off: [..., C, K];  neighbors: [C, K] i32 with
     self-indices at padded/boundary slots (their `off` must be 0).
+
+    `offsets`: static per-column index deltas when the adjacency is
+    *structured* (neighbors[c, k] == c + offsets[k] wherever off != 0,
+    detected at mesh-compile time). With offsets set, the SpMV gather
+    degenerates to K circular shifts — pure elementwise work that XLA
+    fuses into the surrounding Krylov iteration, eliminating the gather
+    and (at small mesh sizes) most of the dispatch-latency floor.
+    Wrap-around entries are safe by construction: any row whose
+    neighbor is not exactly c + offsets[k] carries a zero coefficient.
     """
 
     diag: jax.Array
     off: jax.Array
     neighbors: jax.Array
+    offsets: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def n(self) -> int:
@@ -42,10 +54,15 @@ class EllMatrix:
 
     def matvec(self, x):
         """A @ x for x of shape [..., C] (batch dims broadcast)."""
-        return ell_spmv(self.diag, self.off, self.neighbors, x)
+        return ell_spmv(self.diag, self.off, self.neighbors, x, self.offsets)
 
     def with_values(self, diag, off) -> "EllMatrix":
-        return EllMatrix(diag=diag, off=off, neighbors=self.neighbors)
+        return EllMatrix(
+            diag=diag,
+            off=off,
+            neighbors=self.neighbors,
+            offsets=self.offsets,
+        )
 
     def jacobi_preconditioned(self):
         """Return (D^-1 A, D^-1) applied form: scales rows by 1/diag
@@ -56,12 +73,22 @@ class EllMatrix:
                 diag=jnp.ones_like(self.diag),
                 off=self.off * inv_d[..., None],
                 neighbors=self.neighbors,
+                offsets=self.offsets,
             ),
             inv_d,
         )
 
 
-def ell_spmv(diag, off, neighbors, x):
-    """y = diag * x + sum_k off[..., k] * x[..., neighbors[:, k]]."""
+def ell_spmv(diag, off, neighbors, x, offsets=None):
+    """y = diag * x + sum_k off[..., k] * x[..., neighbors[:, k]].
+
+    With static `offsets`, neighbor gathers become circular shifts
+    (see EllMatrix.offsets)."""
+    if offsets is not None:
+        y = diag * x
+        for k, d in enumerate(offsets):
+            xk = jnp.roll(x, -d, axis=-1) if d != 0 else x
+            y = y + off[..., k] * xk
+        return y
     xg = x[..., neighbors]  # [..., C, K]
     return diag * x + jnp.sum(off * xg, axis=-1)

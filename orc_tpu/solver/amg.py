@@ -205,7 +205,12 @@ def _smooth(A, b, x0, settings: MatrixSolverSettings, axis_sum):
     reference's MULTIGRID_SMOOTHER, linear_algebra.rs:9)."""
     Ap, inv_d = A.jacobi_preconditioned()
     x, info = bicgstab_solve(
-        Ap, b * inv_d, x0, settings.iterations, axis_sum
+        Ap,
+        b * inv_d,
+        x0,
+        settings.iterations,
+        axis_sum,
+        convergence_threshold=settings.relative_convergence_threshold,
     )
     return x, info
 

@@ -162,6 +162,7 @@ def initialize_pressure_field(mesh: CompiledMesh, table: BoundaryTable):
         diag=jnp.sum(a, axis=1),
         off=jnp.where(interior, -a_int, 0.0),
         neighbors=mesh.cell_neighbors,
+        offsets=mesh.neighbor_offsets,
     )
     p, _ = iterative_solve(A, b, jnp.zeros_like(b), _INIT_SOLVER_P)
     return p
@@ -190,6 +191,7 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
         diag=jnp.sum(a, axis=1),
         off=jnp.where(interior, -a_int, 0.0),
         neighbors=mesh.cell_neighbors,
+        offsets=mesh.neighbor_offsets,
     )
     psi, _ = iterative_solve(A, b, jnp.zeros_like(b), _INIT_SOLVER_PSI)
 

@@ -67,6 +67,12 @@ def _mv(A: EllMatrix, x, refresh):
     term uses the local vector, so halo rows (diag 1, off 0) keep
     Krylov vectors identically zero outside owned cells."""
     xr = refresh(x)
+    if A.offsets is not None:
+        y = A.diag * x
+        for k, d in enumerate(A.offsets):
+            xk = jnp.roll(xr, -d, axis=-1) if d != 0 else xr
+            y = y + A.off[..., k] * xk
+        return y
     return A.diag * x + jnp.sum(A.off * xr[..., A.neighbors], axis=-1)
 
 
@@ -252,8 +258,18 @@ def iterative_solve(
             refresh,
         )
     if method == SolutionMethod.BICGSTAB:
+        # The reference's BiCGSTAB has no convergence exit
+        # (linear_algebra.rs:255-268); here the settings threshold
+        # applies as ||r|| <= thresh * ||b|| (set it to 0 to force the
+        # reference's fixed-count behavior).
         return bicgstab_solve(
-            A, b, x0, settings.iterations, axis_sum, refresh=refresh
+            A,
+            b,
+            x0,
+            settings.iterations,
+            axis_sum,
+            convergence_threshold=settings.relative_convergence_threshold,
+            refresh=refresh,
         )
     if method == SolutionMethod.GAUSS_SEIDEL:
         if colors is None:

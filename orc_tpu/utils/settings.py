@@ -158,6 +158,11 @@ class NumericalSettings:
     # Must be very small (<<0.1) for stable SIMPLE convergence
     # (reference: lib.rs:31-32, README.md:17-19).
     pressure_relaxation: float = 0.01
+    # Optional per-cell momentum source: callable(cell_centroids [C,3])
+    # -> [C,3], closed over at trace time (the reference's
+    # get_momentum_source_term hook, solver.rs:698-701, which returns
+    # zero).
+    momentum_source: Optional[Callable] = None
     matrix_solver: MatrixSolverSettings = dataclasses.field(
         default_factory=MatrixSolverSettings
     )

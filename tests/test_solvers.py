@@ -168,6 +168,60 @@ def test_multigrid_galerkin_matches_dense():
     np.testing.assert_allclose(Mc, dense_coarse, rtol=1e-12, atol=1e-12)
 
 
+def test_structured_offsets_spmv_matches_gather():
+    """Structured meshes detect constant ELL column offsets; the
+    shift-based SpMV must equal the gather-based one exactly."""
+    from orc_tpu.mesh import structured_box_mesh
+    from orc_tpu.ops.spmv import ell_spmv
+
+    mesh, _ = structured_box_mesh(5, 4, 3)
+    assert mesh.neighbor_offsets is not None
+    nx = 5
+    assert set(mesh.neighbor_offsets) >= {-1, 1, -nx, nx}
+    rng = np.random.default_rng(0)
+    C, K = mesh.cell_neighbors.shape
+    # Coefficients must be zero wherever the entry is not a real
+    # interior neighbor (the assembly guarantees this).
+    interior = np.asarray(mesh.face_interior[mesh.cell_faces] & mesh.cell_face_mask)
+    off = jnp.asarray(rng.standard_normal((C, K)) * interior)
+    diag = jnp.asarray(rng.standard_normal(C))
+    x = jnp.asarray(rng.standard_normal(C))
+    y_shift = ell_spmv(diag, off, mesh.cell_neighbors, x, mesh.neighbor_offsets)
+    y_gather = ell_spmv(diag, off, mesh.cell_neighbors, x, None)
+    # Equal up to summation-order rounding (sequential shift-adds vs a
+    # single K-axis reduction).
+    np.testing.assert_allclose(
+        np.asarray(y_shift), np.asarray(y_gather), rtol=1e-12, atol=1e-13
+    )
+    # And every nonzero coefficient's neighbor is exactly c + offset.
+    delta = np.asarray(mesh.cell_neighbors) - np.arange(C)[:, None]
+    for k, d in enumerate(mesh.neighbor_offsets):
+        assert (delta[:, k][interior[:, k]] == d).all()
+
+
+def test_structured_offsets_on_reference_mesh(reference_mesh_dir):
+    """The Fluent-generated couette fixture should also be detected as
+    structured (lexicographic cell numbering) — and if not, the gather
+    path must still be used transparently."""
+    import os
+
+    from orc_tpu.mesh import read_mesh
+
+    mesh, _ = read_mesh(
+        os.path.join(reference_mesh_dir, "couette_flow_8x8x1.msh")
+    )
+    # Either detection succeeded (offsets consistent) or fell back.
+    if mesh.neighbor_offsets is not None:
+        nbrs = np.asarray(mesh.cell_neighbors)
+        interior = np.asarray(
+            mesh.face_interior[mesh.cell_faces] & mesh.cell_face_mask
+        )
+        C = mesh.n_cells
+        delta = nbrs - np.arange(C)[:, None]
+        for k, d in enumerate(mesh.neighbor_offsets):
+            assert (delta[:, k][interior[:, k]] == d).all()
+
+
 def test_jacobi_detects_divergence():
     # A non-diagonally-dominant system that Jacobi blows up on.
     diag = jnp.full((N,), 0.1)
