@@ -250,16 +250,35 @@ def _consume_body(lines: List[str], start: int, out: List[str]) -> int:
     return j
 
 
-def read_mesh(path: str, verbose: bool = False):
+def read_mesh(
+    path: str,
+    verbose: bool = False,
+    native: str | bool = "auto",
+    dtype=None,
+):
     """Read a TGRID mesh file and compile it to device arrays.
 
     Returns a `(CompiledMesh, BoundaryTable)` pair (the TPU-facing
     equivalent of the reference's `read_mesh` -> `Mesh`, io.rs:32-515).
+
+    `native`: "auto" tries the C++ parser (native/tgrid_reader.cpp) and
+    falls back to this module's Python parser; True requires it; False
+    forces Python.
     """
     from orc_tpu.mesh.compile import compile_mesh
 
-    with open(path) as f:
-        raw = parse_tgrid(f.read())
+    raw = None
+    if native in ("auto", True):
+        try:
+            from orc_tpu.mesh.native import parse_tgrid_native
+
+            raw = parse_tgrid_native(path)
+        except Exception:
+            if native is True:
+                raise
+    if raw is None:
+        with open(path) as f:
+            raw = parse_tgrid(f.read())
     if verbose:
         print(
             f"Read mesh {path}: {raw.n_cells} cells, {raw.n_faces} faces, "
@@ -267,4 +286,6 @@ def read_mesh(path: str, verbose: bool = False):
         )
         for zid, fz in sorted(raw.face_zones.items()):
             print(f"  face zone {zid}: {fz.zone_type.name} ({fz.name})")
-    return compile_mesh(raw)
+    if dtype is None:
+        return compile_mesh(raw)
+    return compile_mesh(raw, dtype=dtype)
