@@ -95,10 +95,29 @@ def momentum_system(
     Fv = F[..., None]  # broadcast over components
 
     scheme = settings.momentum
+    s_dc = 0.0  # deferred-correction source (CD2)
     if scheme == MomentumScheme.UD:
         a_nb = jnp.minimum(Fv, 0.0) * jnp.ones((1, 1, 3), F.dtype)
     elif scheme == MomentumScheme.CD1:
         a_nb = Fv / 2.0 * jnp.ones((1, 1, 3), F.dtype)
+    elif scheme == MomentumScheme.CD2:
+        # Gradient-corrected CD: implicit CD1 stencil plus an explicit
+        # deferred correction 0.5*(grad_C . r_Cf + grad_D . r_Df), which
+        # restores second order on non-uniform grids. (The reference
+        # enumerates CD2 but panics on it, lib.rs:101-102 /
+        # discretization.rs:287; this is the real implementation.)
+        if grad_vel is None:
+            raise ValueError("CD2 momentum requires grad_vel")
+        a_nb = Fv / 2.0 * jnp.ones((1, 1, 3), F.dtype)
+        nbr = mesh.cell_neighbors
+        r_cf = mesh.face_centroid[cf] - mesh.cell_centroid[:, None, :]
+        r_df = mesh.face_centroid[cf] - mesh.cell_centroid[nbr]
+        g_c = jnp.einsum("cij,ckj->cki", grad_vel, r_cf)
+        g_d = jnp.einsum("ckij,ckj->cki", grad_vel[nbr], r_df)
+        delta = 0.5 * (g_c + g_d)  # [C,K,3]
+        s_dc = -jnp.sum(
+            jnp.where(interior[..., None], Fv * delta, 0.0), axis=1
+        )
     elif scheme == MomentumScheme.TVD:
         if settings.tvd_psi is None or grad_vel is None:
             raise ValueError("TVD momentum requires tvd_psi and grad_vel")
@@ -146,8 +165,10 @@ def momentum_system(
         ),
         axis=1,
     )
-    # User momentum source hook (reference: get_momentum_source_term,
-    # solver.rs:698-701 / discretization.rs:171).
+    # Deferred-correction (CD2) and user momentum source
+    # (reference: get_momentum_source_term, solver.rs:698-701 /
+    # discretization.rs:171-173 where s_u_dc is a zero TODO).
+    s_u = s_u + s_dc
     if settings.momentum_source is not None:
         s_u = s_u + settings.momentum_source(mesh.cell_centroid)
 

@@ -1,0 +1,428 @@
+"""Gather-free (c,k)-direct physics ops.
+
+Motivation (measured on TPU v5e via the axon tunnel, 8k-cell mesh,
+f64): a 50-iteration BiCGSTAB solve costs 69 ms with gather-based SpMV
+and 1.25 ms with structured-shift SpMV — dynamic gathers inside loops
+are ~50x slower than shifts on TPU. The same applies to the assembly
+pipeline: the face-major formulation gathers [C,K] slices of face
+arrays (flux[cell_faces], area[cell_faces], ...) ~25 times per SIMPLE
+step.
+
+This module removes *all* runtime gathers for structured meshes:
+
+- static face geometry is pre-expanded once on host into [C,K]-resident
+  arrays (`CKGeometry`), orientation folded in (outward normals, signed
+  owner->neighbor vectors), so no face-array gathers remain;
+- neighbor cell values are fetched with circular shifts
+  (mesh.neighbor_offsets) — or a single gather on irregular meshes;
+- BC data is selected from the tiny zone tables with a static
+  Z-way `where` chain instead of a gather.
+
+Interior faces are processed twice (once per side) instead of once —
+redundant elementwise FLOPs, which are nearly free, in exchange for
+eliminating the gathers, which are not.
+
+The face-major ops (orc_tpu.ops.interpolation / assembly) remain the
+reference implementation and the path used by the sharded runtime;
+equivalence is pinned by tests/test_ck.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orc_tpu.mesh.compile import CompiledMesh
+from orc_tpu.ops.fields import (
+    INTERIOR,
+    PRESSURE_INLET,
+    PRESSURE_OUTLET,
+    SYMMETRY,
+    VELOCITY_INLET,
+    WALL,
+)
+from orc_tpu.ops.spmv import EllMatrix
+from orc_tpu.utils.settings import (
+    GradientReconstruction,
+    MomentumScheme,
+    NumericalSettings,
+    PressureInterpolation,
+    VelocityInterpolation,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CKGeometry:
+    """Static per-(cell, slot) geometry, orientation folded in."""
+
+    area: jax.Array  # [C,K] (0 at padded slots)
+    n_out: jax.Array  # [C,K,3] outward from c
+    w: jax.Array  # [C,K] lin-weighted coeff: phi_f = phi_c + (phi_n-phi_c) w
+    r_cf: jax.Array  # [C,K,3] x_face - x_c
+    r_on: jax.Array  # [C,K,3] x_nbr - x_c (boundary: x_face - x_c)
+    dist_on: jax.Array  # [C,K] |r_on|
+    dist_fo: jax.Array  # [C,K] |x_face - x_c|
+    interior: jax.Array  # [C,K] bool
+    mask: jax.Array  # [C,K] bool
+    zone_slot: jax.Array  # [C,K] i32
+    n_zones: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_ck_geometry(mesh: CompiledMesh, n_zones: int) -> CKGeometry:
+    """One-time host expansion of face geometry to [C,K]."""
+    cf = np.asarray(mesh.cell_faces)
+    m = np.asarray(mesh.cell_face_mask)
+    sgn = np.asarray(mesh.cell_face_sign)
+    area = np.asarray(mesh.face_area)[cf] * m
+    normal = np.asarray(mesh.face_normal)[cf]
+    n_out = sgn[..., None] * normal
+    fc = np.asarray(mesh.face_centroid)[cf]
+    cc = np.asarray(mesh.cell_centroid)
+    r_cf = (fc - cc[:, None, :]) * m[..., None]
+    nbr = np.asarray(mesh.cell_neighbors)
+    interior = np.asarray(mesh.face_interior)[cf] & m
+    r_on = np.where(
+        interior[..., None], cc[nbr] - cc[:, None, :], r_cf
+    )
+    dist_on = np.linalg.norm(r_on, axis=-1)
+    dist_fo = np.linalg.norm(r_cf, axis=-1)
+    dist_nf = np.linalg.norm(fc - cc[nbr], axis=-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.where(
+            interior, dist_fo / np.maximum(dist_fo + dist_nf, 1e-300), 0.0
+        )
+        dist_on = np.where(m, dist_on, 1.0)
+        dist_fo = np.where(m, dist_fo, 1.0)
+    dt = mesh.dtype
+    f = lambda x: jnp.asarray(x, dtype=dt)
+    return CKGeometry(
+        area=f(area),
+        n_out=f(n_out),
+        w=f(w),
+        r_cf=f(r_cf),
+        r_on=f(r_on),
+        dist_on=f(dist_on),
+        dist_fo=f(dist_fo),
+        interior=jnp.asarray(interior),
+        mask=jnp.asarray(m),
+        zone_slot=jnp.asarray(
+            np.asarray(mesh.face_zone_slot)[cf], dtype=jnp.int32
+        ),
+        n_zones=n_zones,
+    )
+
+
+def nbr_values(mesh: CompiledMesh, x):
+    """Neighbor-cell values [C,K(,d)] — shifts when structured, one
+    gather otherwise. Boundary/padded slots return the cell's own value
+    (consistent with the self-index convention)."""
+    if mesh.neighbor_offsets is not None:
+        cols = []
+        for d in mesh.neighbor_offsets:
+            cols.append(jnp.roll(x, -d, axis=0) if d != 0 else x)
+        out = jnp.stack(cols, axis=1)  # [C,K,...]
+        # Rows whose slot is not a real interior neighbor must fall back
+        # to the cell's own value (rolled values there are arbitrary).
+        interior = mesh.face_interior[mesh.cell_faces] & mesh.cell_face_mask
+        own = jnp.expand_dims(x, 1)
+        cond = interior.reshape(interior.shape + (1,) * (x.ndim - 1))
+        return jnp.where(cond, out, own)
+    return x[mesh.cell_neighbors]
+
+
+def zone_sel(zone_vals, zone_slot, n_zones: int):
+    """Static Z-way select (gather-free) of per-zone values onto [C,K].
+
+    zone_vals: [Z] or [Z,3]; returns [C,K] or [C,K,3]."""
+    if zone_vals.ndim == 1:
+        out = jnp.full(zone_slot.shape, zone_vals[0], zone_vals.dtype)
+        for z in range(1, n_zones):
+            out = jnp.where(zone_slot == z, zone_vals[z], out)
+        return out
+    out = jnp.broadcast_to(
+        zone_vals[0], zone_slot.shape + (zone_vals.shape[-1],)
+    )
+    for z in range(1, n_zones):
+        out = jnp.where((zone_slot == z)[..., None], zone_vals[z], out)
+    return out
+
+
+class CKBC(NamedTuple):
+    """Per-(c,k) BC data + frequently used masks."""
+
+    code: jnp.ndarray  # [C,K] i32
+    scalar: jnp.ndarray  # [C,K]
+    vector: jnp.ndarray  # [C,K,3]
+    is_wall_like: jnp.ndarray  # wall | symmetry
+    is_dirichlet_vel: jnp.ndarray  # wall | velocity inlet
+    is_pressure: jnp.ndarray  # pressure inlet | outlet
+    is_vel_inlet: jnp.ndarray
+
+
+def ck_bc(ck: CKGeometry, zone_codes, zone_scalar, zone_vector) -> CKBC:
+    code = zone_sel(zone_codes, ck.zone_slot, ck.n_zones)
+    scalar = zone_sel(zone_scalar, ck.zone_slot, ck.n_zones)
+    vector = zone_sel(zone_vector, ck.zone_slot, ck.n_zones)
+    m = ck.mask
+    return CKBC(
+        code=code,
+        scalar=scalar,
+        vector=vector,
+        is_wall_like=((code == WALL) | (code == SYMMETRY)) & m,
+        is_dirichlet_vel=((code == WALL) | (code == VELOCITY_INLET)) & m,
+        is_pressure=((code == PRESSURE_INLET) | (code == PRESSURE_OUTLET)) & m,
+        is_vel_inlet=(code == VELOCITY_INLET) & m,
+    )
+
+
+def ck_face_pressure(
+    mesh, ck: CKGeometry, bc: CKBC, p, scheme: PressureInterpolation,
+    grad_p=None, grad_p_nbr=None,
+):
+    """Face pressure per (c,k) [C,K] (face-major version:
+    interpolation.face_pressure)."""
+    p_c = p[:, None]
+    p_n = nbr_values(mesh, p)
+    if scheme == PressureInterpolation.LINEAR:
+        interior = 0.5 * (p_c + p_n)
+    elif scheme == PressureInterpolation.LINEAR_WEIGHTED:
+        interior = p_c + (p_n - p_c) * ck.w
+    elif scheme == PressureInterpolation.SECOND_ORDER:
+        r_nf = ck.r_cf - ck.r_on  # x_face - x_nbr
+        g_c = jnp.sum(grad_p[:, None, :] * ck.r_cf, axis=-1)
+        g_n = jnp.sum(grad_p_nbr * r_nf, axis=-1)
+        interior = 0.5 * ((p_c + p_n) + (g_c + g_n))
+    else:
+        raise NotImplementedError(f"pressure interpolation {scheme}")
+    return jnp.where(
+        bc.is_pressure,
+        bc.scalar,
+        jnp.where(ck.interior, interior, p_c),
+    )
+
+
+def ck_flux(
+    mesh, ck: CKGeometry, bc: CKBC, vel, scheme: VelocityInterpolation,
+    p=None, grad_p=None, grad_p_nbr=None, mom_diag=None, mom_diag_nbr=None,
+    vel_nbr=None,
+):
+    """Outward normal velocity per (c,k) [C,K] (face-major version:
+    interpolation.face_flux; Rhie-Chow per solver.rs:1051-1095)."""
+    v_c = vel[:, None, :]
+    v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel)
+    if scheme in (
+        VelocityInterpolation.LINEAR,
+        VelocityInterpolation.LINEAR_WEIGHTED,
+    ):
+        if scheme == VelocityInterpolation.LINEAR:
+            vf = 0.5 * (v_c + v_n)
+        else:
+            vf = v_c + (v_n - v_c) * ck.w[..., None]
+        interior = jnp.sum(vf * ck.n_out, axis=-1)
+    elif scheme == VelocityInterpolation.RHIE_CHOW:
+        md_n = (
+            mom_diag_nbr if mom_diag_nbr is not None
+            else nbr_values(mesh, mom_diag)
+        )
+        a_c = jnp.sqrt(
+            jnp.sum((mom_diag[:, None, :] * ck.n_out) ** 2, axis=-1)
+        )
+        a_n = jnp.sqrt(jnp.sum((md_n * ck.n_out) ** 2, axis=-1))
+        vol = mesh.cell_volume
+        voa_c = vol[:, None] / a_c
+        voa_n = nbr_values(mesh, vol) / a_n
+        p_n = nbr_values(mesh, p)
+        gp_n = grad_p_nbr if grad_p_nbr is not None else nbr_values(mesh, grad_p)
+        term1 = jnp.sum((v_c + v_n) * ck.n_out, axis=-1)
+        term2 = (voa_c + voa_n) * (p[:, None] - p_n) / ck.dist_on
+        gsum = voa_c[..., None] * grad_p[:, None, :] + voa_n[..., None] * gp_n
+        term3 = jnp.sum(gsum * ck.r_on, axis=-1) / ck.dist_on
+        interior = 0.5 * (term1 + term2 - term3)
+    else:
+        raise NotImplementedError(f"velocity interpolation {scheme}")
+
+    bnd = jnp.where(
+        bc.is_vel_inlet,
+        jnp.sum(bc.vector * ck.n_out, axis=-1),
+        jnp.sum(v_c * ck.n_out, axis=-1),  # pressure BCs
+    )
+    return jnp.where(
+        bc.is_wall_like,
+        0.0,
+        jnp.where(ck.interior, interior, jnp.where(ck.mask, bnd, 0.0)),
+    )
+
+
+def ck_pressure_gradient(mesh, ck: CKGeometry, bc: CKBC, p):
+    """Green-Gauss cell gradient with Linear face pressures [C,3]."""
+    pf = ck_face_pressure(mesh, ck, bc, p, PressureInterpolation.LINEAR)
+    wgt = ck.area / mesh.cell_volume[:, None]
+    return jnp.sum((wgt * pf)[..., None] * ck.n_out, axis=1)
+
+
+def ck_velocity_gradient(mesh, ck: CKGeometry, bc: CKBC, vel, vel_nbr=None):
+    """Green-Gauss velocity gradient [C,3,3] (row i = grad comp i)."""
+    v_c = vel[:, None, :]
+    v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel)
+    vf = jnp.where(
+        bc.is_dirichlet_vel[..., None],
+        bc.vector,
+        jnp.where(ck.interior[..., None], 0.5 * (v_c + v_n), v_c),
+    )
+    wgt = (ck.area / mesh.cell_volume[:, None])[..., None, None]
+    return jnp.sum(wgt * vf[..., :, None] * ck.n_out[..., None, :], axis=1)
+
+
+def ck_diffusion(mesh, ck: CKGeometry, bc: CKBC, mu):
+    """Diffusion contributions (face-major version:
+    assembly.diffusion_system)."""
+    d_bnd = mu * ck.area / ck.dist_fo
+    d_int = mu * ck.area / ck.dist_on
+    dirichlet = bc.is_dirichlet_vel & ~ck.interior
+    d = jnp.where(ck.interior, d_int, jnp.where(dirichlet, d_bnd, 0.0))
+    diag = jnp.sum(d, axis=1)
+    off = jnp.where(ck.interior, -d, 0.0)
+    b = jnp.sum(
+        jnp.where(dirichlet[..., None], d[..., None] * bc.vector, 0.0), axis=1
+    )
+    return diag, off, b
+
+
+def ck_momentum(
+    mesh, ck: CKGeometry, bc: CKBC, settings: NumericalSettings, rho,
+    vel, F, p_f, diff_diag, diff_off, diff_b, grad_vel=None, vel_nbr=None,
+):
+    """Momentum assembly from per-(c,k) mass flows F = flux*area*rho
+    (face-major version: assembly.momentum_system)."""
+    Fv = F[..., None]
+    scheme = settings.momentum
+    s_dc = 0.0
+    if scheme == MomentumScheme.UD:
+        a_nb = jnp.minimum(Fv, 0.0) * jnp.ones((1, 1, 3), F.dtype)
+    elif scheme == MomentumScheme.CD1:
+        a_nb = Fv / 2.0 * jnp.ones((1, 1, 3), F.dtype)
+    elif scheme == MomentumScheme.CD2:
+        if grad_vel is None:
+            raise ValueError("CD2 momentum requires grad_vel")
+        gv_n = nbr_values(mesh, grad_vel)
+        r_nf = ck.r_cf - ck.r_on
+        g_c = jnp.einsum("cij,ckj->cki", grad_vel, ck.r_cf)
+        g_d = jnp.sum(gv_n * r_nf[..., None, :], axis=-1)
+        delta = 0.5 * (g_c + g_d)
+        a_nb = Fv / 2.0 * jnp.ones((1, 1, 3), F.dtype)
+        s_dc = -jnp.sum(jnp.where(ck.interior[..., None], Fv * delta, 0.0), axis=1)
+    elif scheme == MomentumScheme.TVD:
+        if settings.tvd_psi is None or grad_vel is None:
+            raise ValueError("TVD momentum requires tvd_psi and grad_vel")
+        psi = settings.tvd_psi
+        v_c = vel[:, None, :]
+        v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel)
+        downstream = jnp.where(Fv > 0, v_n, v_c)
+        diffv = downstream - v_c
+        same = jnp.sqrt(jnp.sum(diffv * diffv, axis=-1)) == 0.0
+        gdotr = jnp.einsum("cij,ckj->cki", grad_vel, ck.r_on)
+        safe = jnp.where(diffv == 0.0, 1.0, diffv)
+        r = jnp.where(diffv == 0.0, 1.0, 2.0 * gdotr / safe - 1.0)
+        a_tvd = Fv * psi(r) / 2.0
+        a_cd = Fv / 2.0 * jnp.ones_like(a_tvd)
+        a_ud = jnp.minimum(Fv, 0.0) * jnp.ones_like(a_tvd)
+        a_nb = jnp.where(
+            ck.interior[..., None], jnp.where(same[..., None], a_cd, a_tvd), a_ud
+        )
+    else:
+        raise NotImplementedError(f"momentum scheme {scheme}")
+    a_nb = jnp.where(ck.mask[..., None], a_nb, 0.0)
+
+    a_p = jnp.sum(jnp.where(ck.mask[..., None], -a_nb + Fv, 0.0), axis=1)
+    s_u = -jnp.sum(
+        jnp.where(
+            ck.mask[..., None], ck.n_out * (p_f * ck.area)[..., None], 0.0
+        ),
+        axis=1,
+    )
+    dirichlet = bc.is_dirichlet_vel & ~ck.interior
+    s_u = s_u + jnp.sum(
+        jnp.where(dirichlet[..., None], (a_nb - Fv) * bc.vector, 0.0), axis=1
+    )
+    s_u = s_u + s_dc
+    if settings.momentum_source is not None:
+        s_u = s_u + settings.momentum_source(mesh.cell_centroid)
+
+    off = jnp.where(ck.interior[..., None], a_nb + diff_off[..., None], 0.0)
+    active = ck.mask.any(axis=1)
+    diag = jnp.where(active[:, None], a_p + diff_diag[:, None], 1.0)
+    b = jnp.where(active[:, None], s_u + diff_b, 0.0)
+    pe = jnp.where(
+        active[:, None],
+        a_p / jnp.where(active, diff_diag, 1.0)[:, None],
+        0.0,
+    )
+    A = EllMatrix(
+        diag=jnp.moveaxis(diag, -1, 0),
+        off=jnp.moveaxis(off, -1, 0),
+        neighbors=mesh.cell_neighbors,
+        offsets=mesh.neighbor_offsets,
+    )
+    return A, jnp.moveaxis(b, -1, 0), pe
+
+
+def ck_pressure_correction(
+    mesh, ck: CKGeometry, bc: CKBC, rho, F2, mom_diag, mom_diag_nbr=None
+):
+    """SIMPLE continuity system from per-(c,k) mass flows
+    (face-major version: assembly.pressure_correction_system)."""
+    b = jnp.sum(jnp.where(ck.mask, -F2, 0.0), axis=1)
+    md_n = (
+        mom_diag_nbr if mom_diag_nbr is not None
+        else nbr_values(mesh, mom_diag)
+    )
+    a_c = jnp.sqrt(jnp.sum((mom_diag[:, None, :] * ck.n_out) ** 2, axis=-1))
+    a_face = 0.5 * jnp.sqrt(
+        jnp.sum(((mom_diag[:, None, :] + md_n) * ck.n_out) ** 2, axis=-1)
+    )
+    a_nb = rho * ck.area**2 / a_face
+    a_bnd = rho * ck.area**2 / a_c / 2.0
+    active = ck.mask.any(axis=1)
+    diag = jnp.sum(
+        jnp.where(ck.interior, a_nb, jnp.where(ck.mask, a_bnd, 0.0)), axis=1
+    )
+    diag = jnp.where(active, diag, 1.0)
+    b = jnp.where(active, b, 0.0)
+    off = jnp.where(ck.interior, -a_nb, 0.0)
+    return (
+        EllMatrix(
+            diag=diag,
+            off=off,
+            neighbors=mesh.cell_neighbors,
+            offsets=mesh.neighbor_offsets,
+        ),
+        b,
+    )
+
+
+def ck_apply_correction(
+    mesh, ck: CKGeometry, bc: CKBC, settings, p_prime, mom_diag, vel, p
+):
+    """SIMPLE update (face-major version:
+    assembly.apply_pressure_correction)."""
+    pp_n = jnp.where(
+        ck.interior,
+        nbr_values(mesh, p_prime),
+        jnp.where(bc.is_pressure, 0.0, p_prime[:, None]),
+    )
+    scaled_n = ck.n_out / mom_diag[:, None, :]
+    dpp = (p_prime[:, None] - pp_n) * ck.area
+    corr = jnp.sum(
+        jnp.where(ck.mask[..., None], scaled_n * dpp[..., None], 0.0), axis=1
+    )
+    new_vel = vel + settings.momentum_relaxation * corr
+    new_p = p + settings.pressure_relaxation * p_prime
+    active = ck.mask.any(axis=1)
+    p_sq = jnp.sum(jnp.where(active, p_prime * p_prime, 0.0))
+    v_sq = jnp.sum(jnp.where(active[:, None], corr * corr, 0.0))
+    return new_vel, new_p, (p_sq, v_sq)

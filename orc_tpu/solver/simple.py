@@ -19,6 +19,7 @@ Improvements over the reference, by design (SURVEY.md 7):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import NamedTuple, Optional
 
@@ -155,7 +156,7 @@ def simple_step(
         comm.refresh(
             velocity_gradient(mesh, fbc, vel, settings.gradient_reconstruction)
         )
-        if settings.momentum == MomentumScheme.TVD
+        if settings.momentum in (MomentumScheme.TVD, MomentumScheme.CD2)
         else None
     )
 
@@ -254,12 +255,150 @@ def simple_step(
     return new_state, metrics
 
 
-def _make_chunk_runner(mesh, settings, diff, n_steps, solver_extras):
+def ck_simple_step(
+    mesh: CompiledMesh,
+    ck,
+    zone_codes,
+    zone_scalar,
+    zone_vector,
+    settings: NumericalSettings,
+    rho,
+    mu,
+    ck_diff,
+    state: FlowState,
+    solver_extras: Optional[dict] = None,
+):
+    """One SIMPLE iteration in the gather-free (c,k)-direct formulation
+    (see orc_tpu.ops.ck_ops) — the fast single-device path for
+    structured meshes. Semantically identical to `simple_step`
+    (equivalence pinned by tests/test_ck.py)."""
+    from orc_tpu.ops.ck_ops import (
+        ck_apply_correction,
+        ck_bc,
+        ck_face_pressure,
+        ck_flux,
+        ck_momentum,
+        ck_pressure_correction,
+        ck_pressure_gradient,
+        ck_velocity_gradient,
+        nbr_values,
+    )
+
+    solver_extras = solver_extras or {}
+    bc = ck_bc(ck, zone_codes, zone_scalar, zone_vector)
+    diff_diag, diff_off, diff_b = ck_diff
+    vel, p, mom_diag = state.vel, state.p, state.mom_diag
+    active = ck.mask.any(axis=1)
+
+    vel_nbr = nbr_values(mesh, vel)
+    need_gp = _needs_grad_p(settings)
+    grad_p = grad_p_nbr = None
+    if need_gp:
+        grad_p = ck_pressure_gradient(mesh, ck, bc, p)
+        grad_p_nbr = nbr_values(mesh, grad_p)
+    grad_v = (
+        ck_velocity_gradient(mesh, ck, bc, vel, vel_nbr=vel_nbr)
+        if settings.momentum in (MomentumScheme.TVD, MomentumScheme.CD2)
+        else None
+    )
+    mom_diag_nbr = nbr_values(mesh, mom_diag)
+
+    flux = ck_flux(
+        mesh, ck, bc, vel, settings.velocity_interpolation,
+        p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+        mom_diag=mom_diag, mom_diag_nbr=mom_diag_nbr, vel_nbr=vel_nbr,
+    )
+    F = flux * ck.area * rho
+    p_f = ck_face_pressure(
+        mesh, ck, bc, p, settings.pressure_interpolation,
+        grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+    )
+    A3, b3, pe = ck_momentum(
+        mesh, ck, bc, settings, rho, vel, F, p_f,
+        diff_diag, diff_off, diff_b, grad_vel=grad_v, vel_nbr=vel_nbr,
+    )
+
+    def solve_one(diag, off, b, x0):
+        Ai = EllMatrix(
+            diag=diag, off=off, neighbors=A3.neighbors, offsets=A3.offsets
+        )
+        return iterative_solve(
+            Ai, b, x0, settings.matrix_solver, **solver_extras
+        )
+
+    x0 = jnp.where(active[None, :], jnp.moveaxis(vel, -1, 0), 0.0)
+    sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
+    new_vel = jnp.moveaxis(sol, 0, -1)
+    new_mom_diag = jnp.moveaxis(A3.diag, 0, -1)
+    new_md_nbr = nbr_values(mesh, new_mom_diag)
+    new_vel_nbr = nbr_values(mesh, new_vel)
+
+    flux2 = ck_flux(
+        mesh, ck, bc, new_vel, settings.velocity_interpolation,
+        p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+        mom_diag=new_mom_diag, mom_diag_nbr=new_md_nbr, vel_nbr=new_vel_nbr,
+    )
+    F2 = flux2 * ck.area * rho
+    Pmat, b_p = ck_pressure_correction(
+        mesh, ck, bc, rho, F2, new_mom_diag, mom_diag_nbr=new_md_nbr
+    )
+    p_prime, p_info = iterative_solve(
+        Pmat, b_p, jnp.zeros_like(p), settings.matrix_solver, **solver_extras
+    )
+    vel3, p_new, (p_corr_sq, vel_corr_sq) = ck_apply_correction(
+        mesh, ck, bc, settings, p_prime, new_mom_diag, new_vel, p
+    )
+
+    n_active = jnp.sum(active)
+    vel_avg = (
+        jnp.sum(jnp.where(active[:, None], vel3, 0.0), axis=0) / n_active
+    )
+    inf = jnp.asarray(jnp.inf, pe.dtype)
+    metrics = StepMetrics(
+        vel_avg=vel_avg,
+        peclet_avg=jnp.sum(pe) / (3.0 * n_active),
+        peclet_min=jnp.min(jnp.where(active[:, None], pe, inf)),
+        peclet_max=jnp.max(jnp.where(active[:, None], pe, -inf)),
+        p_corr_norm=jnp.sqrt(p_corr_sq),
+        vel_corr_norm=jnp.sqrt(vel_corr_sq),
+        mom_residual=info.residual,
+        pc_residual=p_info.residual,
+        diverged=(
+            jnp.any(jnp.isnan(vel_avg))
+            | jnp.any(info.diverged)
+            | p_info.diverged
+        ),
+    )
+    return FlowState(vel=vel3, p=p_new, mom_diag=new_mom_diag), metrics
+
+
+#: Cell-count ceiling for the [C,K]-expanded fast path (the expanded
+#: static geometry costs ~110 B x K per cell).
+CK_AUTO_MAX_CELLS = int(os.environ.get("ORC_TPU_CK_MAX_CELLS", "4000000"))
+
+
+def _make_chunk_runner(
+    mesh, settings, diff, n_steps, solver_extras, ck=None, ck_diff=None
+):
     """jit-compiled `lax.scan` over n_steps SIMPLE iterations."""
 
     @jax.jit
     def run(state, zone_codes, zone_scalar, zone_vector, rho, mu):
         def body(s, _):
+            if ck is not None:
+                return ck_simple_step(
+                    mesh,
+                    ck,
+                    zone_codes,
+                    zone_scalar,
+                    zone_vector,
+                    settings,
+                    rho,
+                    mu,
+                    ck_diff,
+                    s,
+                    solver_extras,
+                )
             return simple_step(
                 mesh,
                 zone_codes,
@@ -289,9 +428,14 @@ def solve_steady(
     reporting_interval: int = 1,
     verbose: bool = True,
     check_divergence: bool = True,
+    use_ck: str | bool = "auto",
 ):
     """Host driver for the steady SIMPLE loop
     (reference: solver.rs:26-244 + report line solver.rs:206-216).
+
+    `use_ck`: "auto" selects the gather-free (c,k)-direct step for
+    meshes under CK_AUTO_MAX_CELLS; True forces it; False forces the
+    face-major path.
 
     Returns (FlowState, list[StepMetrics-pytree per chunk]).
     """
@@ -303,6 +447,14 @@ def solve_steady(
 
     fbc = face_bc(mesh, zc, zs, zv)
     diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
+
+    ck = ck_diff = None
+    if use_ck is True or (use_ck == "auto" and mesh.n_cells <= CK_AUTO_MAX_CELLS):
+        from orc_tpu.ops.ck_ops import build_ck_geometry, ck_bc, ck_diffusion
+
+        ck = build_ck_geometry(mesh, len(table.zone_ids))
+        bc0 = ck_bc(ck, zc, zs, zv)
+        ck_diff = ck_diffusion(mesh, ck, bc0, jnp.asarray(mu, mesh.dtype))
 
     solver_extras = {}
     if settings.matrix_solver.solver_type == SolutionMethod.GAUSS_SEIDEL:
@@ -318,7 +470,8 @@ def solve_steady(
         )
 
     run = _make_chunk_runner(
-        mesh, settings, diff, reporting_interval, solver_extras
+        mesh, settings, diff, reporting_interval, solver_extras,
+        ck=ck, ck_diff=ck_diff,
     )
     history = []
     done = 0
@@ -326,7 +479,9 @@ def solve_steady(
     while done < iterations:
         n = min(reporting_interval, iterations - done)
         if n != reporting_interval:
-            run = _make_chunk_runner(mesh, settings, diff, n, solver_extras)
+            run = _make_chunk_runner(
+                mesh, settings, diff, n, solver_extras, ck=ck, ck_diff=ck_diff
+            )
         state, metrics = run(state, zc, zs, zv, rho, mu)
         jax.block_until_ready(state)
         done += n

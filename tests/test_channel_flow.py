@@ -87,6 +87,56 @@ def test_default_schemes_rhie_chow_second_order():
         assert abs(cfd - ana) / abs(ana) < 0.05, (stat, cfd, ana)
 
 
+def test_cd2_scheme():
+    """CD2 (gradient-corrected CD, which the reference panics on) must
+    converge the Poiseuille case; on this uniform mesh the deferred
+    correction vanishes so CD1 accuracy is recovered."""
+    settings = ROBUST.replace(momentum=MomentumScheme.CD2)
+    r = run(
+        ChannelFlowParameters(top_wall_velocity=0.0, dp_dx=5.0),
+        settings=settings,
+    )
+    assert r["passed"], (r["u_mean"], r["u_mean_analytical"])
+
+
+def test_tvd_umist_scheme():
+    """TVD with the UMIST limiter (one of the reference's named
+    limiters, lib.rs:111-118) on the Poiseuille case."""
+    from orc_tpu.utils.settings import tvd_umist
+
+    settings = ROBUST.replace(
+        momentum=MomentumScheme.TVD, tvd_psi=tvd_umist
+    )
+    r = run(
+        ChannelFlowParameters(top_wall_velocity=0.0, dp_dx=5.0),
+        settings=settings,
+    )
+    assert r["passed"], (r["u_mean"], r["u_mean_analytical"])
+
+
+def test_least_squares_gradients():
+    """Least-squares gradient reconstruction end-to-end."""
+    from orc_tpu.utils.settings import GradientReconstruction
+
+    settings = NumericalSettings(
+        momentum=MomentumScheme.CD1,
+        pressure_interpolation=PressureInterpolation.SECOND_ORDER,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        gradient_reconstruction=GradientReconstruction.LEAST_SQUARES,
+        matrix_solver=FAST_SOLVER,
+        pressure_relaxation=0.02,
+    )
+    r = run(
+        ChannelFlowParameters(top_wall_velocity=0.0, dp_dx=5.0),
+        settings=settings,
+        iterations=2500,
+    )
+    for stat in ("mean", "min", "max"):
+        cfd = r[f"core_u_{stat}"]
+        ana = r[f"core_u_{stat}_analytical"]
+        assert abs(cfd - ana) / abs(ana) < 0.06, (stat, cfd, ana)
+
+
 def test_velocity_inlet_mass_conservation():
     """Velocity-inlet variant (tests.rs:154-235): bulk velocity must
     match the inlet velocity by mass conservation."""

@@ -1,0 +1,185 @@
+"""Equivalence of the gather-free (c,k)-direct step against the
+face-major reference implementation, across schemes and meshes."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from orc_tpu.mesh import read_mesh, structured_box_mesh
+from orc_tpu.mesh.zones import FaceCondition
+from orc_tpu.ops.assembly import diffusion_system
+from orc_tpu.ops.fields import device_bc, face_bc
+from orc_tpu.ops.ck_ops import build_ck_geometry, ck_bc, ck_diffusion
+from orc_tpu.solver.simple import (
+    ck_simple_step,
+    initial_state,
+    simple_step,
+    solve_steady,
+)
+from orc_tpu.utils.settings import (
+    MatrixSolverSettings,
+    MomentumScheme,
+    NumericalSettings,
+    PreconditionMethod,
+    PressureInterpolation,
+    SolutionMethod,
+    VelocityInterpolation,
+    tvd_umist,
+)
+
+RHO, MU = 1000.0, 0.001
+
+
+def make_case(nx=8, ny=6):
+    mesh, table = structured_box_mesh(
+        nx, ny, 1, lengths=(0.002, 0.001, 0.0001)
+    )
+    table.set("TOP_WALL", FaceCondition.WALL, vector_value=(5e-4, 0, 0))
+    table.set("INLET", FaceCondition.PRESSURE_INLET, scalar_value=0.01)
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    return mesh, table
+
+
+SCHEMES = {
+    "robust": NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=25,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    ),
+    "default": NumericalSettings(
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=25,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    ),
+    "tvd": NumericalSettings(
+        momentum=MomentumScheme.TVD,
+        tvd_psi=tvd_umist,
+        pressure_interpolation=PressureInterpolation.LINEAR,
+        velocity_interpolation=VelocityInterpolation.LINEAR,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=25,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    ),
+    "cd2": NumericalSettings(
+        momentum=MomentumScheme.CD2,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=25,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    ),
+}
+
+
+@pytest.mark.parametrize("scheme", sorted(SCHEMES))
+def test_ck_step_matches_face_major(scheme):
+    settings = SCHEMES[scheme]
+    mesh, table = make_case()
+    zc, zs, zv = device_bc(table, mesh.dtype)
+    fbc = face_bc(mesh, zc, zs, zv)
+    diff = diffusion_system(mesh, fbc, jnp.asarray(MU, mesh.dtype))
+    ck = build_ck_geometry(mesh, len(table.zone_ids))
+    bc0 = ck_bc(ck, zc, zs, zv)
+    ckd = ck_diffusion(mesh, ck, bc0, jnp.asarray(MU, mesh.dtype))
+
+    # Diffusion systems identical.
+    np.testing.assert_allclose(
+        np.asarray(ckd[0]), np.asarray(diff.diag), rtol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(ckd[2]), np.asarray(diff.b), rtol=1e-13, atol=1e-20
+    )
+
+    # Run steps through both paths from a nontrivial state.
+    rng = np.random.default_rng(0)
+    state = initial_state(
+        mesh,
+        vel=rng.standard_normal((mesh.n_cells, 3)) * 1e-4,
+        p=rng.standard_normal(mesh.n_cells) * 1e-3,
+    )
+    # Non-smooth limiters (TVD) flip branches on rounding-level input
+    # differences, so multi-step state comparison is meaningful only for
+    # smooth schemes; one step suffices to pin the TVD path.
+    n_steps = 1 if scheme == "tvd" else 3
+    s_fm, s_ck = state, state
+    for _ in range(n_steps):
+        s_fm, m_fm = simple_step(
+            mesh, zc, zs, zv, settings, RHO, MU, diff, s_fm
+        )
+        s_ck, m_ck = ck_simple_step(
+            mesh, ck, zc, zs, zv, settings, RHO, MU, ckd, s_ck
+        )
+    # Summation-order rounding is amplified by the Krylov iterations;
+    # equivalence here is structural, not bitwise.
+    np.testing.assert_allclose(
+        np.asarray(s_ck.vel), np.asarray(s_fm.vel), rtol=3e-5, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ck.p), np.asarray(s_fm.p), rtol=3e-5, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m_ck.p_corr_norm), float(m_fm.p_corr_norm), rtol=1e-4
+    )
+
+
+def test_ck_on_unstructured_fallback(reference_mesh_dir):
+    """The ck path must also work (via the gather fallback) on meshes
+    without detected structure — e.g. after forcing offsets off."""
+    import dataclasses
+    import os
+
+    mesh, table = read_mesh(
+        os.path.join(reference_mesh_dir, "couette_flow_8x8x1.msh")
+    )
+    mesh = dataclasses.replace(mesh, neighbor_offsets=None)
+    table.set("WALL", FaceCondition.WALL)
+    table.set("INLET", FaceCondition.VELOCITY_INLET, vector_value=(1e-3, 0, 0))
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    settings = SCHEMES["robust"]
+    zc, zs, zv = device_bc(table, mesh.dtype)
+    fbc = face_bc(mesh, zc, zs, zv)
+    diff = diffusion_system(mesh, fbc, jnp.asarray(MU, mesh.dtype))
+    ck = build_ck_geometry(mesh, len(table.zone_ids))
+    bc0 = ck_bc(ck, zc, zs, zv)
+    ckd = ck_diffusion(mesh, ck, bc0, jnp.asarray(MU, mesh.dtype))
+    state = initial_state(mesh)
+    s_fm, _ = simple_step(mesh, zc, zs, zv, settings, RHO, MU, diff, state)
+    s_ck, _ = ck_simple_step(
+        mesh, ck, zc, zs, zv, settings, RHO, MU, ckd, state
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ck.vel), np.asarray(s_fm.vel), rtol=1e-8, atol=1e-14
+    )
+
+
+def test_solve_steady_ck_flag():
+    """use_ck True and False produce the same converged answer."""
+    mesh, table = make_case()
+    settings = SCHEMES["robust"]
+    r1, _ = solve_steady(
+        mesh, table, settings, RHO, MU, iterations=50,
+        reporting_interval=50, verbose=False, use_ck=True,
+    )
+    r2, _ = solve_steady(
+        mesh, table, settings, RHO, MU, iterations=50,
+        reporting_interval=50, verbose=False, use_ck=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.vel), np.asarray(r2.vel), rtol=1e-4, atol=1e-12
+    )
