@@ -90,6 +90,11 @@ def cmd_run(args):
     if case.checkpoint_file:
         save_checkpoint(case.checkpoint_file, mesh, state, case.iterations)
         print(f"wrote {case.checkpoint_file}")
+    if args.history:
+        from orc_tpu.solver.simple import save_history
+
+        save_history(args.history, history)
+        print(f"wrote {args.history}")
     return 0
 
 
@@ -134,6 +139,12 @@ def main(argv=None):
     p_run.add_argument("case")
     p_run.add_argument("--iterations", type=int, default=None)
     p_run.add_argument("--devices", default=None)
+    p_run.add_argument(
+        "--history",
+        default=None,
+        help="write per-iteration metrics (residual history, corrections, "
+        "Peclet stats) to this npz file",
+    )
     p_run.set_defaults(fn=cmd_run)
 
     p_info = sub.add_parser("info", help="inspect a mesh")

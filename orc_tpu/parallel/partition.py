@@ -54,8 +54,8 @@ class Partition:
     """Stacked per-part local mesh + exchange plan (leading axis = P)."""
 
     local_mesh: CompiledMesh  # all arrays stacked [P, ...]
-    owned_global: jax.Array  # [P, c_max] i32 global id of owned slot
-    owned_mask: jax.Array  # [P, c_max] bool
+    owned_global: jax.Array  # [P, L] i32 global id at each owned slot
+    owned_mask: jax.Array  # [P, L] bool — true at owned, real slots
     # Exchange plan, one entry per active ring offset:
     send_idx: tuple  # of [P, s_d] i32 local indices to gather & send
     recv_idx: tuple  # of [P, s_d] i32 local halo slots (trash-padded)
@@ -70,9 +70,230 @@ class Partition:
 
 
 def partition_mesh(
+    mesh: CompiledMesh, n_parts: int, dtype=None, method: str = "auto"
+) -> Partition:
+    """Partition a compiled mesh for `n_parts` devices.
+
+    method: "slab" (contiguous index ranges with ghost layers —
+    preserves structured neighbor offsets, so the distributed SpMV runs
+    gather-free), "rcb" (recursive coordinate bisection — general
+    meshes), or "auto" (slab when the mesh is structured).
+    """
+    if method == "auto":
+        method = "slab" if mesh.neighbor_offsets is not None else "rcb"
+    if method == "slab":
+        if mesh.neighbor_offsets is None:
+            raise ValueError("slab partitioning requires a structured mesh")
+        return _partition_slab(mesh, n_parts, dtype)
+    return _partition_rcb(mesh, n_parts, dtype)
+
+
+def _partition_slab(
     mesh: CompiledMesh, n_parts: int, dtype=None
 ) -> Partition:
-    """Partition a compiled mesh for `n_parts` devices."""
+    """Ghost-layer slab decomposition of a structured mesh.
+
+    Each part owns the contiguous global range [p*c_max, ...) and keeps
+    H = max|offset| ghost cells on each side in *global index order*,
+    so local neighbor deltas equal the global `neighbor_offsets` and
+    every device-local SpMV stays on the shift path.
+
+    Local layout (size L = c_max + 2H + 1):
+      [0, H)              lower ghost layer
+      [H, H + size_p)     owned cells
+      [H + c_max, +H)     upper ghost layer
+      L-1                 trash slot
+    """
+    dtype = dtype or mesh.dtype
+    C, F, K = mesh.n_cells, mesh.n_faces, mesh.max_faces_per_cell
+    offs = mesh.neighbor_offsets
+    H = max(1, max(abs(int(d)) for d in offs))
+    c_max = -(-C // n_parts)
+    L = c_max + 2 * H + 1
+    trash = L - 1
+
+    starts = [p * c_max for p in range(n_parts)]
+    sizes = [max(0, min(c_max, C - s)) for s in starts]
+    part_of = np.minimum(np.arange(C) // c_max, n_parts - 1)
+
+    owner = np.asarray(mesh.face_owner, dtype=np.int64)
+    neighbor = np.asarray(mesh.face_neighbor, dtype=np.int64)
+    interior = np.asarray(mesh.face_interior)
+    nbrs_g = np.asarray(mesh.cell_neighbors, dtype=np.int64)
+    mask_g = np.asarray(mesh.cell_face_mask)
+    faces_g = np.asarray(mesh.cell_faces, dtype=np.int64)
+    sign_g = np.asarray(mesh.cell_face_sign)
+    cc = np.asarray(mesh.cell_centroid)
+    g_vol = np.asarray(mesh.cell_volume)
+
+    local_of = np.full((n_parts, C), trash, dtype=np.int64)
+    halos: List[np.ndarray] = []
+    for p in range(n_parts):
+        w0 = starts[p] - H
+        lo = np.arange(max(0, w0), starts[p])
+        hi = np.arange(
+            min(C, starts[p] + sizes[p]),
+            min(C, starts[p] + c_max + H),
+        )
+        # In-window cells (ghosts + owned) all map by g - w0.
+        win = np.arange(max(0, w0), min(C, starts[p] + c_max + H))
+        local_of[p, win] = win - w0
+        halos.append(np.concatenate([lo, hi]))
+
+    part_faces: List[np.ndarray] = []
+    for p in range(n_parts):
+        sel = (part_of[owner] == p) | (interior & (part_of[neighbor] == p))
+        part_faces.append(np.nonzero(sel)[0])
+    f_max = max(len(f) for f in part_faces)
+
+    def zeros(shape, fill=0.0):
+        return np.full(shape, fill, dtype=np.float64)
+
+    l_owner = np.zeros((n_parts, f_max), dtype=np.int64)
+    l_neighbor = np.zeros((n_parts, f_max), dtype=np.int64)
+    l_interior = np.zeros((n_parts, f_max), dtype=bool)
+    l_area = zeros((n_parts, f_max))
+    l_normal = zeros((n_parts, f_max, 3))
+    l_normal[:, :, 0] = 1.0
+    l_fcent = zeros((n_parts, f_max, 3))
+    l_zslot = np.zeros((n_parts, f_max), dtype=np.int64)
+    l_lw = zeros((n_parts, f_max))
+    l_ron = zeros((n_parts, f_max, 3))
+    l_ron[:, :, 0] = 1.0
+    l_dist_on = zeros((n_parts, f_max), 1.0)
+    l_dist_fo = zeros((n_parts, f_max), 1.0)
+    l_ccent = zeros((n_parts, L, 3))
+    l_vol = zeros((n_parts, L), 1.0)
+    l_cf = np.zeros((n_parts, L, K), dtype=np.int64)
+    l_cmask = np.zeros((n_parts, L, K), dtype=bool)
+    l_csign = zeros((n_parts, L, K))
+    l_cnbr = np.tile(
+        np.arange(L, dtype=np.int64)[None, :, None], (n_parts, 1, K)
+    )
+    owned_global = np.zeros((n_parts, L), dtype=np.int64)
+    owned_mask = np.zeros((n_parts, L), dtype=bool)
+
+    g_arrs = dict(
+        area=np.asarray(mesh.face_area),
+        normal=np.asarray(mesh.face_normal),
+        fcent=np.asarray(mesh.face_centroid),
+        zslot=np.asarray(mesh.face_zone_slot, dtype=np.int64),
+        lw=np.asarray(mesh.face_lw),
+        ron=np.asarray(mesh.face_r_on),
+        dist_on=np.asarray(mesh.face_dist_on),
+        dist_fo=np.asarray(mesh.face_dist_fo),
+    )
+
+    for p in range(n_parts):
+        w0 = starts[p] - H
+        o = np.arange(starts[p], starts[p] + sizes[p])
+        sl = o - w0  # local slots of owned cells
+        owned_global[p, sl] = o
+        owned_mask[p, sl] = True
+        pf = part_faces[p]
+        n_f = len(pf)
+        face_local = np.full(F, -1, dtype=np.int64)
+        face_local[pf] = np.arange(n_f)
+
+        l_owner[p, :n_f] = owner[pf] - w0
+        l_neighbor[p, :n_f] = neighbor[pf] - w0
+        l_interior[p, :n_f] = interior[pf]
+        l_area[p, :n_f] = g_arrs["area"][pf]
+        l_normal[p, :n_f] = g_arrs["normal"][pf]
+        l_fcent[p, :n_f] = g_arrs["fcent"][pf]
+        l_zslot[p, :n_f] = g_arrs["zslot"][pf]
+        l_lw[p, :n_f] = g_arrs["lw"][pf]
+        l_ron[p, :n_f] = g_arrs["ron"][pf]
+        l_dist_on[p, :n_f] = g_arrs["dist_on"][pf]
+        l_dist_fo[p, :n_f] = g_arrs["dist_fo"][pf]
+
+        win = np.arange(max(0, w0), min(C, starts[p] + c_max + H))
+        l_ccent[p, win - w0] = cc[win]
+        l_vol[p, win - w0] = g_vol[win]
+
+        l_cf[p, sl] = np.where(mask_g[o], np.maximum(face_local[faces_g[o]], 0), 0)
+        l_cmask[p, sl] = mask_g[o]
+        l_csign[p, sl] = sign_g[o]
+        l_cnbr[p, sl] = np.where(
+            mask_g[o], nbrs_g[o] - w0, sl[:, None]
+        )
+
+    send_idx, recv_idx, ring_offsets = _exchange_plan(
+        halos, local_of, part_of, n_parts, trash
+    )
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    local_mesh = CompiledMesh(
+        face_owner=i32(l_owner),
+        face_neighbor=i32(l_neighbor),
+        face_interior=jnp.asarray(l_interior),
+        face_area=f(l_area),
+        face_normal=f(l_normal),
+        face_centroid=f(l_fcent),
+        face_zone_slot=i32(l_zslot),
+        face_lw=f(l_lw),
+        face_r_on=f(l_ron),
+        face_dist_on=f(l_dist_on),
+        face_dist_fo=f(l_dist_fo),
+        cell_centroid=f(l_ccent),
+        cell_volume=f(l_vol),
+        cell_faces=i32(l_cf),
+        cell_face_mask=jnp.asarray(l_cmask),
+        cell_face_sign=f(l_csign),
+        cell_neighbors=i32(l_cnbr),
+        dim=mesh.dim,
+        neighbor_offsets=offs,
+    )
+    return Partition(
+        local_mesh=local_mesh,
+        owned_global=i32(owned_global),
+        owned_mask=jnp.asarray(owned_mask),
+        send_idx=tuple(i32(s) for s in send_idx),
+        recv_idx=tuple(i32(r) for r in recv_idx),
+        offsets=tuple(ring_offsets),
+        n_parts=n_parts,
+        c_max=c_max + 2 * H,  # owned+ghost extent (L = this + 1)
+        h_max=0,
+    )
+
+
+def _exchange_plan(halos, local_of, part_of, n_parts, trash):
+    """Per-ring-offset send/recv index lists (shared by both
+    partitioners)."""
+    send_idx: List[np.ndarray] = []
+    recv_idx: List[np.ndarray] = []
+    ring_offsets: List[int] = []
+    for d in range(1, n_parts):
+        sends = []
+        any_traffic = False
+        for src in range(n_parts):
+            dst = (src + d) % n_parts
+            need = halos[dst][part_of[halos[dst]] == src]
+            if len(need):
+                any_traffic = True
+            sends.append(need)
+        if not any_traffic:
+            continue
+        s_max = max(len(s) for s in sends)
+        s_arr = np.zeros((n_parts, s_max), dtype=np.int64)
+        r_arr = np.full((n_parts, s_max), trash, dtype=np.int64)
+        for src in range(n_parts):
+            dst = (src + d) % n_parts
+            need = sends[src]
+            s_arr[src, : len(need)] = local_of[src, need]
+            r_arr[dst, : len(need)] = local_of[dst, need]
+        send_idx.append(s_arr)
+        recv_idx.append(r_arr)
+        ring_offsets.append(d)
+    return send_idx, recv_idx, ring_offsets
+
+
+def _partition_rcb(
+    mesh: CompiledMesh, n_parts: int, dtype=None
+) -> Partition:
+    """Partition a compiled mesh for `n_parts` devices (RCB + sorted
+    halo blocks)."""
     dtype = dtype or mesh.dtype
     C, F, K = mesh.n_cells, mesh.n_faces, mesh.max_faces_per_cell
     cc = np.asarray(mesh.cell_centroid)
@@ -142,8 +363,8 @@ def partition_mesh(
     l_csign = zeros((n_parts, L, K))
     l_cnbr = np.tile(np.arange(L, dtype=np.int64)[None, :, None], (n_parts, 1, K))
 
-    owned_global = np.zeros((n_parts, c_max), dtype=np.int64)
-    owned_mask = np.zeros((n_parts, c_max), dtype=bool)
+    owned_global = np.zeros((n_parts, L), dtype=np.int64)
+    owned_mask = np.zeros((n_parts, L), dtype=bool)
 
     g_area = np.asarray(mesh.face_area)
     g_normal = np.asarray(mesh.face_normal)
@@ -202,34 +423,9 @@ def partition_mesh(
         )
 
     # --- exchange plan (ring offsets) ---
-    send_idx: List[np.ndarray] = []
-    recv_idx: List[np.ndarray] = []
-    offsets: List[int] = []
-    for d in range(1, n_parts):
-        sends = []
-        recvs = []
-        any_traffic = False
-        for src in range(n_parts):
-            dst = (src + d) % n_parts
-            # Cells owned by src that dst needs in its halo.
-            need = halos[dst][part_of[halos[dst]] == src]
-            if len(need):
-                any_traffic = True
-            sends.append(local_of[src, need] if len(need) else np.zeros(0, np.int64))
-            recvs.append(local_of[dst, need] if len(need) else np.zeros(0, np.int64))
-        if not any_traffic:
-            continue
-        s_max = max(len(s) for s in sends)
-        s_arr = np.zeros((n_parts, s_max), dtype=np.int64)
-        r_arr = np.full((n_parts, s_max), trash, dtype=np.int64)
-        for src in range(n_parts):
-            dst = (src + d) % n_parts
-            s_arr[src, : len(sends[src])] = sends[src]
-            # recv indices live on the *destination* device row.
-            r_arr[dst, : len(recvs[src])] = recvs[src]
-        send_idx.append(s_arr)
-        recv_idx.append(r_arr)
-        offsets.append(d)
+    send_idx, recv_idx, offsets = _exchange_plan(
+        halos, local_of, part_of, n_parts, trash
+    )
 
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)

@@ -77,13 +77,12 @@ def scatter_state(partition: Partition, state: FlowState) -> FlowState:
     """Global FlowState [C] -> stacked local [P, L] (host-side)."""
     og = np.asarray(partition.owned_global, dtype=np.int64)
     om = np.asarray(partition.owned_mask)
-    Pn, c_max = og.shape
-    L = partition.local_size
+    Pn, L = og.shape
 
     def sc(arr):
         arr = np.asarray(arr)
         out = np.zeros((Pn, L) + arr.shape[1:], dtype=arr.dtype)
-        out[:, :c_max][om] = arr[og[om]]
+        out[om] = arr[og[om]]
         return jnp.asarray(out)
 
     return FlowState(
@@ -95,12 +94,11 @@ def gather_state(partition: Partition, local: FlowState, n_cells: int) -> FlowSt
     """Stacked local [P, L] -> global FlowState [C] (host-side)."""
     og = np.asarray(partition.owned_global, dtype=np.int64)
     om = np.asarray(partition.owned_mask)
-    c_max = og.shape[1]
 
     def ga(arr):
         arr = np.asarray(arr)
         out = np.zeros((n_cells,) + arr.shape[2:], dtype=arr.dtype)
-        out[og[om]] = arr[:, :c_max][om]
+        out[og[om]] = arr[om]
         return jnp.asarray(out)
 
     return FlowState(
@@ -187,10 +185,14 @@ def solve_steady_sharded(
     n_devices: Optional[int] = None,
     verbose: bool = True,
     check_divergence: bool = True,
+    partition_method: str = "auto",
 ):
     """Multi-device drop-in for solve_steady: partitions the mesh over
     all available devices, runs the sharded SIMPLE loop, and returns the
-    *global* FlowState plus metrics history."""
+    *global* FlowState plus metrics history.
+
+    partition_method: "slab" (ghost layers, gather-free SpMV on
+    structured meshes), "rcb", or "auto"."""
     from orc_tpu.parallel.partition import partition_mesh
     from orc_tpu.solver.simple import initial_state
 
@@ -198,7 +200,7 @@ def solve_steady_sharded(
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
     device_mesh = Mesh(np.array(devices), (AXIS,))
-    partition = partition_mesh(mesh, n)
+    partition = partition_mesh(mesh, n, method=partition_method)
     reporting_interval = max(1, min(reporting_interval, iterations))
 
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)

@@ -102,6 +102,28 @@ class StepMetrics(NamedTuple):
     diverged: jax.Array  # bool
 
 
+def stack_history(history):
+    """Concatenate per-chunk StepMetrics into one StepMetrics of
+    [n_iterations]-leading arrays (for plotting / residual-history
+    comparison against other solvers)."""
+    import numpy as np
+
+    return StepMetrics(
+        *[
+            np.concatenate([np.asarray(getattr(h, f)) for h in history])
+            for f in StepMetrics._fields
+        ]
+    )
+
+
+def save_history(path, history):
+    """Write the stacked iteration history as an npz archive."""
+    import numpy as np
+
+    hs = stack_history(history)
+    np.savez_compressed(path, **{f: getattr(hs, f) for f in hs._fields})
+
+
 def initial_state(mesh: CompiledMesh, vel=None, p=None) -> FlowState:
     C = mesh.n_cells
     dt = mesh.dtype

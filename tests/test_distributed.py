@@ -50,9 +50,10 @@ def test_rcb_partition_balance():
         assert counts.max() <= 1000 // n + 2
 
 
-def test_partition_roundtrip_state():
+@pytest.mark.parametrize("method", ["slab", "rcb"])
+def test_partition_roundtrip_state(method):
     mesh, table = case()
-    part = partition_mesh(mesh, 4)
+    part = partition_mesh(mesh, 4, method=method)
     rng = np.random.default_rng(1)
     st = initial_state(
         mesh,
@@ -144,10 +145,12 @@ SETTINGS = NumericalSettings(
 )
 
 
-@pytest.mark.parametrize("n_devices", [2, 8])
-def test_sharded_matches_single_device(n_devices):
+@pytest.mark.parametrize("n_devices,method", [(2, "slab"), (8, "slab"), (4, "rcb")])
+def test_sharded_matches_single_device(n_devices, method):
     """The distributed SIMPLE loop must reproduce the single-device
-    trajectory (tolerance covers reduction-order differences)."""
+    trajectory (tolerance covers reduction-order differences), with both
+    the ghost-layer slab partitioner (structured, gather-free SpMV) and
+    the general RCB partitioner."""
     mesh, table = case()
     state0 = initial_state(mesh)
     ref_state, _ = solve_steady(
@@ -172,6 +175,7 @@ def test_sharded_matches_single_device(n_devices):
         reporting_interval=20,
         n_devices=n_devices,
         verbose=False,
+        partition_method=method,
     )
     np.testing.assert_allclose(
         np.asarray(sh_state.vel),
@@ -220,3 +224,11 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+def test_slab_preserves_offsets():
+    mesh, table = case(16, 4, 1)
+    part = partition_mesh(mesh, 4, method="slab")
+    assert part.local_mesh.neighbor_offsets == mesh.neighbor_offsets
+    rcb = partition_mesh(mesh, 4, method="rcb")
+    assert rcb.local_mesh.neighbor_offsets is None
