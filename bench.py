@@ -18,8 +18,10 @@ import os
 import sys
 import time
 
-# Round-1 self-generated baseline (iters/sec, this config, one v5e chip).
-BASELINE_ITERS_PER_SEC = None  # set after first recorded bench run
+# Round-1 self-generated baseline (iters/sec, default f64 config, one
+# v5e chip; measured 2026-08-16 after the gather-free (c,k)-direct step
+# landed). vs_baseline tracks round-over-round improvement against it.
+BASELINE_ITERS_PER_SEC = 257.6
 
 REF_MESH = "/root/reference/examples/couette_flow_128x64x1.msh"
 
@@ -119,6 +121,16 @@ def main():
     state, _ = run(state, zc, zs, zv, rho, mu)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
+
+    import numpy as np
+
+    u = np.asarray(state.vel[:, 0])
+    assert np.isfinite(u).all(), "benchmark produced non-finite fields"
+    print(
+        f"sanity: u_mean={u.mean():.3e} u_min={u.min():.3e} "
+        f"u_max={u.max():.3e} (inlet 1e-3)",
+        file=sys.stderr,
+    )
     iters_per_sec = n_iters / dt
     print(
         f"{n_iters} SIMPLE iterations in {dt:.2f}s -> "
@@ -131,11 +143,12 @@ def main():
         if BASELINE_ITERS_PER_SEC
         else 1.0
     )
+    dtype_name = os.environ.get("BENCH_DTYPE", "f64")
     print(
         json.dumps(
             {
                 "metric": "SIMPLE iters/sec, couette_128x64x1, "
-                f"CD1+SecondOrder+RhieChow+{solver_name}(50), f64",
+                f"CD1+SecondOrder+RhieChow+{solver_name}(50), {dtype_name}",
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/sec",
                 "vs_baseline": round(vs, 3),

@@ -41,7 +41,23 @@ def cmd_run(args):
     n_dev = (
         len(jax.devices()) if case.devices == "all" else int(case.devices)
     )
-    if n_dev > 1:
+    if case.time:
+        from orc_tpu.solver.transient import solve_transient
+
+        tm = case.time
+        state, metrics = solve_transient(
+            mesh,
+            table,
+            case.settings,
+            case.rho,
+            case.mu,
+            dt=float(tm["dt"]),
+            n_steps=int(tm.get("steps", 100)),
+            inner_iterations=int(tm.get("inner_iterations", 15)),
+            state=state,
+        )
+        history = [metrics]
+    elif n_dev > 1:
         from orc_tpu.parallel.sharded import solve_steady_sharded
 
         state, history = solve_steady_sharded(

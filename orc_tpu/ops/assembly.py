@@ -82,12 +82,16 @@ def momentum_system(
     p_face,  # [F]
     diff: DiffusionSystem,
     grad_vel=None,  # [C,3,3], required for TVD
+    inertia=None,  # (rho V / dt [C], vel_n [C,3]) for transient runs
 ):
     """Assemble the three momentum systems (shared sparsity) in one pass
-    (reference: discretization.rs:133-356).
+    (reference: discretization.rs:133-356). With `inertia`, the
+    first-order implicit unsteady term rho V/dt (phi - phi_n) is added
+    (the reference's unimplemented "transient iteration" roadmap item,
+    README.md:42).
 
     Returns (EllMatrix with batch dim 3 ordered [u,v,w], b [3,C],
-    PecletStats).
+    per-cell Peclet array).
     """
     cf, m, code, area, interior = _gathered(mesh, fbc)
     sgn = mesh.cell_face_sign
@@ -181,10 +185,16 @@ def momentum_system(
     # rows so the systems stay nonsingular and Krylov vectors stay zero
     # off the owned set.
     active = m.any(axis=1)
+    a_t = 0.0
+    s_t = 0.0
+    if inertia is not None:
+        rv_dt, vel_n = inertia
+        a_t = rv_dt[:, None]
+        s_t = rv_dt[:, None] * vel_n
     diag = jnp.where(
-        active[:, None], a_p + diff.diag[:, None], 1.0
+        active[:, None], a_p + diff.diag[:, None] + a_t, 1.0
     )  # [C,3]
-    b = jnp.where(active[:, None], s_u + diff.b, 0.0)  # [C,3]
+    b = jnp.where(active[:, None], s_u + diff.b + s_t, 0.0)  # [C,3]
 
     # "Peclet" per cell/component = a_p / diffusion diagonal
     # (discretization.rs:331-338); inactive rows excluded via NaN-free

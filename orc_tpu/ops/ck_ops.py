@@ -296,6 +296,7 @@ def ck_diffusion(mesh, ck: CKGeometry, bc: CKBC, mu):
 def ck_momentum(
     mesh, ck: CKGeometry, bc: CKBC, settings: NumericalSettings, rho,
     vel, F, p_f, diff_diag, diff_off, diff_b, grad_vel=None, vel_nbr=None,
+    inertia=None,
 ):
     """Momentum assembly from per-(c,k) mass flows F = flux*area*rho
     (face-major version: assembly.momentum_system)."""
@@ -355,8 +356,14 @@ def ck_momentum(
 
     off = jnp.where(ck.interior[..., None], a_nb + diff_off[..., None], 0.0)
     active = ck.mask.any(axis=1)
-    diag = jnp.where(active[:, None], a_p + diff_diag[:, None], 1.0)
-    b = jnp.where(active[:, None], s_u + diff_b, 0.0)
+    a_t = 0.0
+    s_t = 0.0
+    if inertia is not None:
+        rv_dt, vel_n = inertia
+        a_t = rv_dt[:, None]
+        s_t = rv_dt[:, None] * vel_n
+    diag = jnp.where(active[:, None], a_p + diff_diag[:, None] + a_t, 1.0)
+    b = jnp.where(active[:, None], s_u + diff_b + s_t, 0.0)
     pe = jnp.where(
         active[:, None],
         a_p / jnp.where(active, diff_diag, 1.0)[:, None],

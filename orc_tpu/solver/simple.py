@@ -153,6 +153,7 @@ def simple_step(
     state: FlowState,
     solver_extras: Optional[dict] = None,
     comm: Optional[NullComm] = None,
+    inertia=None,
 ):
     """One SIMPLE iteration. Traceable; all arguments but `settings`
     (static), `solver_extras` (aux pytrees) and `comm` are device data.
@@ -196,12 +197,15 @@ def simple_step(
     )
 
     A3, b3, pe = momentum_system(
-        mesh, fbc, settings, rho, vel, flux, p_f, diff, grad_vel=grad_v
+        mesh, fbc, settings, rho, vel, flux, p_f, diff, grad_vel=grad_v,
+        inertia=inertia,
     )
 
     # Batched momentum solve over the shared sparsity.
     def solve_one(diag, off, b, x0):
-        Ai = EllMatrix(diag=diag, off=off, neighbors=A3.neighbors)
+        Ai = EllMatrix(
+            diag=diag, off=off, neighbors=A3.neighbors, offsets=A3.offsets
+        )
         return iterative_solve(
             Ai,
             b,
@@ -289,6 +293,7 @@ def ck_simple_step(
     ck_diff,
     state: FlowState,
     solver_extras: Optional[dict] = None,
+    inertia=None,
 ):
     """One SIMPLE iteration in the gather-free (c,k)-direct formulation
     (see orc_tpu.ops.ck_ops) — the fast single-device path for
@@ -338,6 +343,7 @@ def ck_simple_step(
     A3, b3, pe = ck_momentum(
         mesh, ck, bc, settings, rho, vel, F, p_f,
         diff_diag, diff_off, diff_b, grad_vel=grad_v, vel_nbr=vel_nbr,
+        inertia=inertia,
     )
 
     def solve_one(diag, off, b, x0):

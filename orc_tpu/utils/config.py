@@ -83,6 +83,7 @@ class Case:
     generate: Optional[dict]  # {nx, ny, nz, lengths}
     iterations: int
     reporting_interval: int
+    time: Optional[dict]  # {dt, steps, inner_iterations} -> transient run
     data_file: Optional[str]
     gradients_file: Optional[str]
     checkpoint_file: Optional[str]
@@ -167,6 +168,7 @@ def parse_case(text: str) -> Case:
         generate=gen,
         iterations=int(case.get("iterations", 100)),
         reporting_interval=int(case.get("reporting_interval", 10)),
+        time=doc.get("time"),
         data_file=case.get("data_file"),
         gradients_file=case.get("gradients_file"),
         checkpoint_file=case.get("checkpoint_file"),
@@ -273,4 +275,10 @@ type = "symmetry"
 
 [run]
 devices = 1                           # or "all" for a sharded run
+
+# Uncomment for a transient (implicit-Euler time-marching) run:
+# [time]
+# dt = 0.01
+# steps = 100
+# inner_iterations = 15
 """
