@@ -41,7 +41,24 @@ def cmd_run(args):
     n_dev = (
         len(jax.devices()) if case.devices == "all" else int(case.devices)
     )
-    if case.time:
+    if case.turbulence:
+        from orc_tpu.solver.turbulence import solve_steady_turbulent
+
+        tb = case.turbulence
+        state, turb, history = solve_steady_turbulent(
+            mesh,
+            table,
+            case.settings,
+            case.rho,
+            case.mu,
+            u_ref=float(tb.get("u_ref", 1.0)),
+            iterations=case.iterations,
+            reporting_interval=case.reporting_interval,
+            intensity=float(tb.get("intensity", 0.05)),
+            length_scale=float(tb.get("length_scale", 0.1)),
+            state=state,
+        )
+    elif case.time:
         from orc_tpu.solver.transient import solve_transient
 
         tm = case.time

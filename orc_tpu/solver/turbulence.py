@@ -1,0 +1,300 @@
+"""Standard k-epsilon turbulence model (high-Re, wall functions).
+
+The reference *declares* `TurbulenceModel::StandardKEpsilon` and a
+commented-out assembly signature but implements nothing
+(lib.rs:164-168, solver.rs:1152-1167, roadmap README.md:44). This is a
+working implementation on the gather-free (c,k)-direct path:
+
+- transport equations for k and epsilon with UD advection, variable
+  face diffusivity (mu + mu_t/sigma), implicit destruction terms;
+- turbulent viscosity mu_t = rho C_mu k^2/eps coupled into the momentum
+  diffusion (rebuilt per outer iteration);
+- standard equilibrium wall functions: log-law effective wall viscosity
+  for momentum, production/dissipation overrides in wall-adjacent
+  cells, fixed eps_P = C_mu^{3/4} k^{3/2}/(kappa y_p);
+- inlet k/eps from turbulence intensity + length scale.
+
+Status: EXPERIMENTAL — validated for qualitative turbulent-channel
+physics (flat profile, mu_t >> mu in the core, positive fields); not
+yet against friction-factor correlations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from orc_tpu.mesh.compile import CompiledMesh
+from orc_tpu.ops.ck_ops import (
+    CKBC,
+    CKGeometry,
+    build_ck_geometry,
+    ck_bc,
+    ck_diffusion,
+    ck_velocity_gradient,
+    nbr_values,
+)
+from orc_tpu.ops.spmv import EllMatrix
+from orc_tpu.solver.krylov import iterative_solve
+from orc_tpu.solver.simple import FlowState, ck_simple_step, initial_state
+from orc_tpu.utils.settings import (
+    MatrixSolverSettings,
+    NumericalSettings,
+)
+
+C_MU = 0.09
+C_1 = 1.44
+C_2 = 1.92
+SIGMA_K = 1.0
+SIGMA_E = 1.3
+KAPPA = 0.41
+E_WALL = 9.793
+YPLUS_LAM = 11.25  # viscous/log-layer crossover
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TurbState:
+    k: jax.Array  # [C] turbulent kinetic energy
+    eps: jax.Array  # [C] dissipation rate
+    mu_t: jax.Array  # [C] eddy viscosity
+
+
+def initial_turbulence(
+    mesh: CompiledMesh, u_ref: float, intensity: float, length_scale: float,
+    rho: float,
+) -> TurbState:
+    k0 = 1.5 * (intensity * max(abs(u_ref), 1e-12)) ** 2
+    e0 = C_MU ** 0.75 * k0 ** 1.5 / max(length_scale, 1e-12)
+    C = mesh.n_cells
+    dt = mesh.dtype
+    k = jnp.full((C,), k0, dt)
+    eps = jnp.full((C,), e0, dt)
+    return TurbState(k=k, eps=eps, mu_t=rho * C_MU * k * k / eps)
+
+
+def _strain_sq(grad_vel):
+    """S^2 = 2 S_ij S_ij from the velocity-gradient tensor [C,3,3]."""
+    s = 0.5 * (grad_vel + jnp.swapaxes(grad_vel, -1, -2))
+    return 2.0 * jnp.sum(s * s, axis=(-1, -2))
+
+
+def _wall_adjacent(ck: CKGeometry, bc: CKBC):
+    """(has_wall [C], y_p [C]) — distance to the nearest wall face of
+    wall-adjacent cells (1 where none)."""
+    from orc_tpu.ops.fields import WALL
+
+    is_wall = (bc.code == WALL) & ck.mask & ~ck.interior
+    has_wall = is_wall.any(axis=1)
+    y = jnp.where(is_wall, ck.dist_fo, jnp.inf).min(axis=1)
+    return has_wall, jnp.where(has_wall, y, 1.0)
+
+
+def wall_viscosity(k, y_p, has_wall, rho, mu):
+    """Log-law effective wall viscosity for the momentum wall flux."""
+    u_star = C_MU ** 0.25 * jnp.sqrt(jnp.maximum(k, 1e-30))
+    y_plus = rho * u_star * y_p / mu
+    mu_log = rho * u_star * KAPPA * y_p / jnp.log(E_WALL * jnp.maximum(y_plus, 1.06))
+    mu_w = jnp.where(y_plus > YPLUS_LAM, mu_log, mu)
+    return jnp.where(has_wall, jnp.maximum(mu_w, mu), mu)
+
+
+def ck_scalar_system(
+    mesh, ck: CKGeometry, bc: CKBC, F, gamma_ck, diag_src, b_src,
+    inlet_value,
+):
+    """UD advection-diffusion system for a turbulence scalar.
+
+    gamma_ck: [C,K] face diffusivity. Walls/symmetry/outlets get zero
+    flux; velocity & pressure inlets get Dirichlet `inlet_value`.
+    """
+    a_nb = jnp.where(ck.mask, jnp.minimum(F, 0.0), 0.0)
+    a_p_adv = jnp.sum(jnp.where(ck.mask, -a_nb + F, 0.0), axis=1)
+
+    from orc_tpu.ops.fields import PRESSURE_INLET, VELOCITY_INLET
+
+    is_inlet = (
+        ((bc.code == VELOCITY_INLET) | (bc.code == PRESSURE_INLET))
+        & ck.mask
+        & ~ck.interior
+    )
+    d_int = jnp.where(ck.interior, gamma_ck * ck.area / ck.dist_on, 0.0)
+    d_in = jnp.where(is_inlet, gamma_ck * ck.area / ck.dist_fo, 0.0)
+    diag = a_p_adv + jnp.sum(d_int + d_in, axis=1) + diag_src
+    off = jnp.where(ck.interior, a_nb - d_int, 0.0)
+    b = b_src + jnp.sum(d_in, axis=1) * inlet_value
+    # UD inlet advection: a_nb=min(F,0) at inlet faces contributes
+    # -a_nb*phi_in to the RHS (inflow F<0).
+    b = b - jnp.sum(jnp.where(is_inlet, a_nb, 0.0), axis=1) * inlet_value
+
+    active = ck.mask.any(axis=1)
+    diag = jnp.where(active, diag, 1.0)
+    b = jnp.where(active, b, 0.0)
+    return (
+        EllMatrix(
+            diag=diag,
+            off=off,
+            neighbors=mesh.cell_neighbors,
+            offsets=mesh.neighbor_offsets,
+        ),
+        b,
+    )
+
+
+def turbulence_step(
+    mesh, ck: CKGeometry, bc: CKBC, settings: NumericalSettings,
+    rho, mu, flow: FlowState, turb: TurbState,
+    k_in, eps_in, relax=0.7,
+):
+    """One k/eps update given the current flow field."""
+    from orc_tpu.ops.ck_ops import ck_flux
+    from orc_tpu.utils.settings import VelocityInterpolation
+
+    vel_nbr = nbr_values(mesh, flow.vel)
+    grad_v = ck_velocity_gradient(mesh, ck, bc, flow.vel, vel_nbr=vel_nbr)
+    flux = ck_flux(
+        mesh, ck, bc, flow.vel, VelocityInterpolation.LINEAR_WEIGHTED,
+        vel_nbr=vel_nbr,
+    )
+    F = flux * ck.area * rho
+    vol = mesh.cell_volume
+    has_wall, y_p = _wall_adjacent(ck, bc)
+
+    k = jnp.maximum(turb.k, 1e-30)
+    eps = jnp.maximum(turb.eps, 1e-30)
+    mu_t = turb.mu_t
+    mu_t_f = mu + 0.5 * (mu_t[:, None] + nbr_values(mesh, mu_t))
+
+    # Production: interior P_k = mu_t S^2; wall-adjacent cells use the
+    # equilibrium wall-function form tau_w * u_star / (kappa y_p).
+    s2 = _strain_sq(grad_v)
+    p_k = mu_t * s2
+    mu_w = wall_viscosity(k, y_p, has_wall, rho, mu)
+    # Tangential cell velocity magnitude (wall velocity ~ 0 assumed for
+    # the production estimate).
+    u_mag = jnp.sqrt(jnp.sum(flow.vel**2, axis=-1))
+    tau_w = mu_w * u_mag / y_p
+    u_star = C_MU ** 0.25 * jnp.sqrt(k)
+    p_k_wall = tau_w * u_star / (KAPPA * y_p)
+    p_k = jnp.where(has_wall, p_k_wall, p_k)
+
+    # --- k equation ---
+    gamma_k = mu + (mu_t_f - mu) / SIGMA_K
+    diag_src_k = rho * eps / k * vol  # implicit destruction
+    b_src_k = p_k * vol
+    A_k, b_k = ck_scalar_system(
+        mesh, ck, bc, F, gamma_k, diag_src_k, b_src_k, k_in
+    )
+    k_sol, _ = iterative_solve(
+        A_k, b_k, k, settings.matrix_solver
+    )
+    k_new = jnp.maximum(k + relax * (k_sol - k), 1e-30)
+
+    # --- epsilon equation ---
+    gamma_e = mu + (mu_t_f - mu) / SIGMA_E
+    diag_src_e = C_2 * rho * eps / k * vol
+    b_src_e = C_1 * (eps / k) * p_k * vol
+    A_e, b_e = ck_scalar_system(
+        mesh, ck, bc, F, gamma_e, diag_src_e, b_src_e, eps_in
+    )
+    # Wall-adjacent cells: fix eps to the equilibrium value.
+    eps_wall = C_MU ** 0.75 * k_new ** 1.5 / (KAPPA * y_p)
+    A_e = EllMatrix(
+        diag=jnp.where(has_wall, 1.0, A_e.diag),
+        off=jnp.where(has_wall[:, None], 0.0, A_e.off),
+        neighbors=A_e.neighbors,
+        offsets=A_e.offsets,
+    )
+    b_e = jnp.where(has_wall, eps_wall, b_e)
+    e_sol, _ = iterative_solve(A_e, b_e, eps, settings.matrix_solver)
+    eps_new = jnp.maximum(eps + relax * (e_sol - eps), 1e-30)
+
+    mu_t_new = rho * C_MU * k_new * k_new / eps_new
+    mu_t_new = jnp.clip(mu_t_new, 0.0, 1e5 * mu)
+    return TurbState(k=k_new, eps=eps_new, mu_t=mu_t_new), mu_w
+
+
+def solve_steady_turbulent(
+    mesh: CompiledMesh,
+    table,
+    settings: NumericalSettings,
+    rho: float,
+    mu: float,
+    u_ref: float,
+    iterations: int = 500,
+    reporting_interval: int = 100,
+    intensity: float = 0.05,
+    length_scale: float = 0.1,
+    state: Optional[FlowState] = None,
+    turb: Optional[TurbState] = None,
+    verbose: bool = True,
+):
+    """Steady RANS loop: each outer iteration runs one SIMPLE step with
+    mu_eff = mu + mu_t (wall faces use the log-law wall viscosity),
+    then one k/eps update. Single-device, (c,k)-direct path."""
+    import time
+
+    from orc_tpu.ops.fields import WALL, device_bc
+
+    table.validate_supported()
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    ckg = build_ck_geometry(mesh, len(table.zone_ids))
+    bc0 = ck_bc(ckg, zc, zs, zv)
+    if state is None:
+        state = initial_state(mesh)
+    if turb is None:
+        turb = initial_turbulence(mesh, u_ref, intensity, length_scale, rho)
+    k_in = 1.5 * (intensity * abs(u_ref)) ** 2
+    eps_in = C_MU ** 0.75 * k_in ** 1.5 / length_scale
+    has_wall, y_p = _wall_adjacent(ckg, bc0)
+    is_wall_face = (bc0.code == WALL) & ckg.mask & ~ckg.interior
+
+    def step(carry, _):
+        flow, tb = carry
+        # Effective viscosity field for momentum diffusion.
+        mu_t_f = 0.5 * (tb.mu_t[:, None] + nbr_values(mesh, tb.mu_t))
+        mu_w = wall_viscosity(tb.k, y_p, has_wall, rho, mu)
+        gamma = jnp.where(
+            ckg.interior,
+            mu + mu_t_f,
+            jnp.where(is_wall_face, mu_w[:, None], mu + tb.mu_t[:, None]),
+        )
+        ck_diff = ck_diffusion(mesh, ckg, bc0, gamma)
+        flow2, metrics = ck_simple_step(
+            mesh, ckg, zc, zs, zv, settings, rho, mu, ck_diff, flow
+        )
+        tb2, _ = turbulence_step(
+            mesh, ckg, bc0, settings, rho, mu, flow2, tb, k_in, eps_in
+        )
+        return (flow2, tb2), metrics
+
+    run = jax.jit(
+        lambda carry, n: lax.scan(step, carry, None, length=n),
+        static_argnums=1,
+    )
+    carry = (state, turb)
+    history = []
+    done = 0
+    t0 = time.perf_counter()
+    reporting_interval = max(1, min(reporting_interval, iterations))
+    while done < iterations:
+        n = min(reporting_interval, iterations - done)
+        carry, metrics = run(carry, n)
+        jax.block_until_ready(carry)
+        done += n
+        history.append(metrics)
+        if verbose:
+            va = jax.device_get(metrics.vel_avg[-1])
+            dt_ms = (time.perf_counter() - t0) * 1e3 / done
+            print(
+                f"[k-eps] iter {done}: avg velocity = ({va[0]:.2e}, "
+                f"{va[1]:.2e}, {va[2]:.2e})  "
+                f"mu_t/mu max = {float(jnp.max(carry[1].mu_t))/mu:.1f}  "
+                f"ms/iter = {dt_ms:.3g}"
+            )
+    flow, tb = carry
+    return flow, tb, history

@@ -84,6 +84,7 @@ class Case:
     iterations: int
     reporting_interval: int
     time: Optional[dict]  # {dt, steps, inner_iterations} -> transient run
+    turbulence: Optional[dict]  # {model, intensity, length_scale, u_ref}
     data_file: Optional[str]
     gradients_file: Optional[str]
     checkpoint_file: Optional[str]
@@ -169,6 +170,7 @@ def parse_case(text: str) -> Case:
         iterations=int(case.get("iterations", 100)),
         reporting_interval=int(case.get("reporting_interval", 10)),
         time=doc.get("time"),
+        turbulence=doc.get("turbulence"),
         data_file=case.get("data_file"),
         gradients_file=case.get("gradients_file"),
         checkpoint_file=case.get("checkpoint_file"),
@@ -275,6 +277,14 @@ type = "symmetry"
 
 [run]
 devices = 1                           # or "all" for a sharded run
+
+# Uncomment for a RANS run with the standard k-epsilon model
+# (EXPERIMENTAL):
+# [turbulence]
+# model = "k_epsilon"
+# intensity = 0.05
+# length_scale = 0.1
+# u_ref = 1.0
 
 # Uncomment for a transient (implicit-Euler time-marching) run:
 # [time]
