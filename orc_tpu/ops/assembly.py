@@ -38,12 +38,6 @@ class DiffusionSystem(NamedTuple):
     b: jnp.ndarray  # [C,3] Dirichlet-velocity source
 
 
-class PecletStats(NamedTuple):
-    avg: jnp.ndarray
-    min: jnp.ndarray
-    max: jnp.ndarray
-
-
 def _gathered(mesh: CompiledMesh, fbc: FaceBC):
     """Common per-(c,k) gathers."""
     cf = mesh.cell_faces

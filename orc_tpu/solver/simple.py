@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -405,42 +406,62 @@ def ck_simple_step(
 CK_AUTO_MAX_CELLS = int(os.environ.get("ORC_TPU_CK_MAX_CELLS", "4000000"))
 
 
+@partial(
+    jax.jit,
+    static_argnames=("settings", "n_steps", "n_colors", "use_ck"),
+)
+def _run_scan(
+    mesh, diff, ck, ck_diff, state, zc, zs, zv, rho, mu, colors,
+    mg_hierarchy, *, settings, n_steps, n_colors, use_ck,
+):
+    """Module-level jitted scan so repeated solve_steady calls on the
+    same mesh/settings reuse the compiled executable (a per-call jit
+    closure would recompile — and bake the mesh in as constants)."""
+    extras = {}
+    if colors is not None:
+        extras = dict(colors=colors, n_colors=n_colors)
+    elif mg_hierarchy is not None:
+        extras = dict(mg_hierarchy=mg_hierarchy)
+
+    def body(s, _):
+        if use_ck:
+            return ck_simple_step(
+                mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s, extras
+            )
+        return simple_step(
+            mesh, zc, zs, zv, settings, rho, mu, diff, s, extras
+        )
+
+    return lax.scan(body, state, None, length=n_steps)
+
+
 def _make_chunk_runner(
     mesh, settings, diff, n_steps, solver_extras, ck=None, ck_diff=None
 ):
-    """jit-compiled `lax.scan` over n_steps SIMPLE iterations."""
+    """`lax.scan` runner over n_steps SIMPLE iterations."""
+    colors = solver_extras.get("colors")
+    n_colors = solver_extras.get("n_colors", 0)
+    mg = solver_extras.get("mg_hierarchy")
 
-    @jax.jit
     def run(state, zone_codes, zone_scalar, zone_vector, rho, mu):
-        def body(s, _):
-            if ck is not None:
-                return ck_simple_step(
-                    mesh,
-                    ck,
-                    zone_codes,
-                    zone_scalar,
-                    zone_vector,
-                    settings,
-                    rho,
-                    mu,
-                    ck_diff,
-                    s,
-                    solver_extras,
-                )
-            return simple_step(
-                mesh,
-                zone_codes,
-                zone_scalar,
-                zone_vector,
-                settings,
-                rho,
-                mu,
-                diff,
-                s,
-                solver_extras,
-            )
-
-        return lax.scan(body, state, None, length=n_steps)
+        return _run_scan(
+            mesh,
+            diff,
+            ck,
+            ck_diff,
+            state,
+            zone_codes,
+            zone_scalar,
+            zone_vector,
+            rho,
+            mu,
+            colors,
+            mg,
+            settings=settings,
+            n_steps=n_steps,
+            n_colors=n_colors,
+            use_ck=ck is not None,
+        )
 
     return run
 
