@@ -16,6 +16,11 @@ coefficients by construction (EllMatrix.offsets contract).
 
 Use `shift_spmv(diag, off, offsets, x)`; it pads, tiles, and calls the
 kernel. Interpreter mode (CPU tests) via interpret=True.
+
+NOTE: on TPU backends that emulate f64 (v5e), Pallas custom calls
+cannot carry f64 operands (XLA's x64-rewrite pass does not handle
+custom calls) — use f32 inputs on hardware; f64 works in interpreter
+mode and on CPU.
 """
 
 from __future__ import annotations

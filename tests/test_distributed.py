@@ -232,3 +232,52 @@ def test_slab_preserves_offsets():
     assert part.local_mesh.neighbor_offsets == mesh.neighbor_offsets
     rcb = partition_mesh(mesh, 4, method="rcb")
     assert rcb.local_mesh.neighbor_offsets is None
+
+
+def test_slab_ghost_layers_refresh():
+    """After a refresh, every in-window ghost slot of the slab layout
+    holds the owning device's value (= global cell id here)."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+    from orc_tpu.parallel.sharded import AXIS, ShardedComm
+
+    mesh, table = case(16, 4, 1)
+    n = 4
+    part = partition_mesh(mesh, n, method="slab")
+    st = initial_state(
+        mesh,
+        vel=np.tile(np.arange(mesh.n_cells, dtype=float)[:, None], (1, 3)),
+        p=np.arange(mesh.n_cells, dtype=float),
+    )
+    local = scatter_state(part, st)
+    device_mesh = Mesh(np.array(jax.devices()[:n]), (AXIS,))
+
+    def f(send_idx, recv_idx, x):
+        sq = lambda t: jax.tree.map(lambda a: a[0], t)
+        comm = ShardedComm(part, sq(send_idx), sq(recv_idx))
+        return comm.refresh(sq(x))[None]
+
+    refreshed = np.asarray(
+        jax.jit(
+            shard_map(
+                f,
+                mesh=device_mesh,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                out_specs=P(AXIS),
+                check_vma=False,
+            )
+        )(part.send_idx, part.recv_idx, local.p)
+    )
+    og = np.asarray(part.owned_global)
+    om = np.asarray(part.owned_mask)
+    C = mesh.n_cells
+    checked = 0
+    for p in range(n):
+        sl = np.nonzero(om[p])[0]
+        w0 = og[p, sl[0]] - sl[0]  # window origin (global id of slot 0)
+        for i in range(part.local_size - 1):
+            g = w0 + i
+            if 0 <= g < C and not om[p, i]:  # in-window ghost slot
+                assert refreshed[p, i] == g, (p, i, g, refreshed[p, i])
+                checked += 1
+    assert checked > 0
