@@ -1,10 +1,12 @@
 """Benchmark: SIMPLE iterations/sec on the couette_flow_128x64x1 case.
 
-Runs the reference's active configuration (velocity-inlet channel flow
-on the 128x64x1 mesh, main.rs:104-113) with the reference's default
-numerics (CD1 + SecondOrder pressure + Rhie-Chow + 50-iteration
-preconditioned solver, lib.rs:58-86) on the real TPU chip, and prints
-ONE JSON line:
+Runs the reference's VALIDATED configuration (pressure-driven couette
+with a moving wall, tests.rs:44-152 / main.rs:84-102) with the
+reference's default discretization (CD1 + SecondOrder pressure +
+Rhie-Chow face velocities, lib.rs:58-74) and 50-iteration
+preconditioned BiCGSTAB on the real TPU chip, asserts the bulk
+velocity tracks the analytical channel profile, and prints ONE JSON
+line:
 
     {"metric": ..., "value": N, "unit": "iters/sec", "vs_baseline": N}
 
@@ -19,9 +21,10 @@ import sys
 import time
 
 # Round-1 self-generated baseline (iters/sec, default f64 config, one
-# v5e chip; measured 2026-08-16 after the gather-free (c,k)-direct step
-# landed). vs_baseline tracks round-over-round improvement against it.
-BASELINE_ITERS_PER_SEC = 257.6
+# v5e chip; measured 2026-08-16 with physics validated against the
+# analytical channel profile). vs_baseline tracks round-over-round
+# improvement against it.
+BASELINE_ITERS_PER_SEC = 588.0
 
 REF_MESH = "/root/reference/examples/couette_flow_128x64x1.msh"
 
@@ -43,12 +46,13 @@ def build_case():
         mesh, table = structured_box_mesh(
             128, 64, 1, lengths=(0.002, 0.001, 0.0001), dtype=dtype
         )
-    # BCs of the active reference case (tests.rs:168-188).
-    table.set("TOP_WALL", FaceCondition.WALL, vector_value=(0.0, 0.0, 0.0))
+    # BCs of the reference's VALIDATED case (solve_channel_flow,
+    # tests.rs:60-76 with main.rs:84-102 parameters): moving top wall
+    # 5e-4 m/s + streamwise dp/dx = 10 Pa/m. Analytical
+    # u_mean = U/2 + h^2/(12 mu) dp/dx = 1.0833e-3 m/s.
+    table.set("TOP_WALL", FaceCondition.WALL, vector_value=(5e-4, 0.0, 0.0))
     table.set("BOTTOM_WALL", FaceCondition.WALL)
-    table.set(
-        "INLET", FaceCondition.VELOCITY_INLET, vector_value=(1e-3, 0.0, 0.0)
-    )
+    table.set("INLET", FaceCondition.PRESSURE_INLET, scalar_value=0.02)
     table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
     table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
     table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
@@ -74,19 +78,17 @@ def main():
     )
 
     mesh, table = build_case()
-    # Reference default discretization (CD1 + SecondOrder + Rhie-Chow,
-    # lib.rs:58-74) with the solver configuration that is fastest in
-    # THIS framework at this mesh size: Jacobi-preconditioned BiCGSTAB
-    # with relative-residual early exit. (The reference's multigrid
-    # claim, lib.rs:33, does not transfer: a V-cycle with 50-iteration
-    # smoothers per level costs ~12x a converged BiCGSTAB solve here.)
+    # Solver: Jacobi-preconditioned BiCGSTAB with relative-residual
+    # early exit — fastest in this framework at this size (the
+    # reference's multigrid claim, lib.rs:33, does not transfer: a
+    # V-cycle with 50-iteration smoothers costs ~12x here).
     solver_name = os.environ.get("BENCH_SOLVER", "bicgstab")
     settings = NumericalSettings(
         matrix_solver=MatrixSolverSettings(
             solver_type=SolutionMethod(solver_name),
             iterations=50,
             preconditioner=PreconditionMethod.JACOBI,
-        )
+        ),
     )
     rho, mu = 1000.0, 0.001
     state = initial_state(mesh)
@@ -126,10 +128,16 @@ def main():
 
     u = np.asarray(state.vel[:, 0])
     assert np.isfinite(u).all(), "benchmark produced non-finite fields"
+    u_mean_analytical = 5e-4 / 2 + 1e-3**2 / (12 * 0.001) * 10.0
     print(
-        f"sanity: u_mean={u.mean():.3e} u_min={u.min():.3e} "
-        f"u_max={u.max():.3e} (inlet 1e-3)",
+        f"sanity: u_mean={u.mean():.3e} (analytical "
+        f"{u_mean_analytical:.3e}) u_min={u.min():.3e} u_max={u.max():.3e}",
         file=sys.stderr,
+    )
+    # After warmup + measured run (>= 2 * BENCH_ITERS iterations) the
+    # bulk velocity must be tracking the analytical value.
+    assert abs(u.mean() - u_mean_analytical) / u_mean_analytical < 0.25, (
+        "benchmark physics drifted from the analytical solution"
     )
     iters_per_sec = n_iters / dt
     print(

@@ -37,12 +37,15 @@ BLOCK_ROWS = 256  # 32k elements per block
 
 
 def _kernel(offsets, hr, br, diag_ref, off_ref, x_hbm, y_ref):
+    # Keep all index math in i32: under jax_enable_x64 stray i64 scalars
+    # fail Mosaic legalization.
     r = pl.program_id(0)
+    start = pl.multiple_of(r * jnp.int32(br), br)
 
     def body(xb, sem):
         # Window: rows [r*BR, r*BR + BR + 2*Hr + 1) of the padded x.
         dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(r * br, br + 2 * hr + 1), :],
+            x_hbm.at[pl.ds(start, br + 2 * hr + 1), :],
             xb,
             sem,
         )
@@ -102,6 +105,10 @@ def shift_spmv(diag, off, offsets: tuple, x, interpret: bool = False):
     kern = functools.partial(
         _kernel, tuple(int(d) for d in offsets), hr, BLOCK_ROWS
     )
+    # Index maps must return uniformly-i32 indices: under
+    # jax_enable_x64, literal 0 traces as i64 and Mosaic fails to
+    # legalize the mixed (i32, i64) index tuple.
+    z32 = lambda r: jnp.int32(0)
     y = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Rp, LANES), x.dtype),
@@ -109,18 +116,20 @@ def shift_spmv(diag, off, offsets: tuple, x, interpret: bool = False):
         in_specs=[
             pl.BlockSpec(
                 (BLOCK_ROWS, LANES),
-                lambda r: (r, 0),
+                lambda r: (r, z32(r)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (K, BLOCK_ROWS, LANES),
-                lambda r: (0, r, 0),
+                lambda r: (z32(r), r, z32(r)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (BLOCK_ROWS, LANES), lambda r: (r, 0), memory_space=pltpu.VMEM
+            (BLOCK_ROWS, LANES),
+            lambda r: (r, z32(r)),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(diag2, off2, x_pad)

@@ -79,11 +79,42 @@ class EllMatrix:
         )
 
 
+import os as _os
+
+#: Opt-in Pallas kernel for large structured f32 SpMVs
+#: (ORC_TPU_PALLAS_SPMV=1). Measured at 1M cells f32 on v5e: 385 GB/s
+#: (47% HBM roofline) vs ~300 GB/s for the XLA shift path. f64 cannot
+#: use it (XLA's x64-emulation rewrite rejects custom calls).
+_PALLAS_SPMV = _os.environ.get("ORC_TPU_PALLAS_SPMV", "0") == "1"
+_PALLAS_MIN_CELLS = 262144
+
+
+def _pallas_eligible(diag, off, x, offsets):
+    if not _PALLAS_SPMV or offsets is None:
+        return False
+    if x.ndim != 1 or diag.ndim != 1 or off.ndim != 2:
+        return False
+    if x.dtype != jnp.float32:
+        return False
+    if x.shape[0] < _PALLAS_MIN_CELLS:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def ell_spmv(diag, off, neighbors, x, offsets=None):
     """y = diag * x + sum_k off[..., k] * x[..., neighbors[:, k]].
 
     With static `offsets`, neighbor gathers become circular shifts
     (see EllMatrix.offsets)."""
+    if _pallas_eligible(diag, off, x, offsets):
+        from orc_tpu.ops.pallas_spmv import shift_spmv
+
+        return shift_spmv(diag, off, tuple(offsets), x)
     if offsets is not None:
         y = diag * x
         for k, d in enumerate(offsets):

@@ -183,8 +183,14 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
     is_vin = (code == VELOCITY_INLET) & m
     is_pout = (code == PRESSURE_OUTLET) & m
     a = jnp.where(interior, a_int, jnp.where(is_pout, a_bnd, 0.0))
+    # Inlet source: known boundary-normal gradient of psi, scaled by
+    # A/V like every other term (the reference omits the scaling,
+    # solver.rs:551-557, making the system dimensionally inconsistent).
+    av = mesh.face_area[cf] / mesh.cell_volume[:, None]
     src = jnp.where(
-        is_vin, -jnp.einsum("cki,cki->ck", fbc.vector[cf], n_out), 0.0
+        is_vin,
+        -jnp.einsum("cki,cki->ck", fbc.vector[cf], n_out) * av,
+        0.0,
     )
     b = jnp.sum(src, axis=1)
     A = EllMatrix(
@@ -208,16 +214,16 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
     dd = d[..., :dim]
     ata = jnp.einsum("cka,ckb->cab", dd, dd)
     atb = jnp.einsum("cka,ck->ca", dd, dpsi)
-    # Guard cells whose neighbor displacements don't span `dim`
-    # directions (reference falls back to zero velocity on
-    # non-invertible systems, solver.rs:666-673).
-    det = jnp.linalg.det(ata)
+    # Ridge-regularize instead of hard-zeroing singular systems: cells
+    # whose interior neighbors don't span all `dim` directions (e.g.
+    # one-cell-thick 3D meshes have no z variation) still recover the
+    # gradient components that ARE spanned, with ~0 in null directions.
+    # (The reference prunes zero columns at runtime and zeroes the rest,
+    # solver.rs:648-693.)
+    tr = jnp.trace(ata, axis1=-2, axis2=-1)
     eye = jnp.eye(dim, dtype=ata.dtype)
-    g = jnp.linalg.solve(
-        jnp.where(jnp.abs(det)[:, None, None] > 1e-300, ata, eye),
-        atb[..., None],
-    )[..., 0]
-    g = jnp.where(jnp.abs(det)[:, None] > 1e-300, g, 0.0)
+    reg = (1e-10 * tr + 1e-300)[:, None, None] * eye
+    g = jnp.linalg.solve(ata + reg, atb[..., None])[..., 0]
     g = jnp.nan_to_num(g)
     if dim == 2:
         g = jnp.pad(g, ((0, 0), (0, 1)))

@@ -66,6 +66,10 @@ def _mv(A: EllMatrix, x, refresh):
     refreshed vector (remote values at halo slots) while the diagonal
     term uses the local vector, so halo rows (diag 1, off 0) keep
     Krylov vectors identically zero outside owned cells."""
+    if refresh is _no_refresh:
+        from orc_tpu.ops.spmv import ell_spmv
+
+        return ell_spmv(A.diag, A.off, A.neighbors, x, A.offsets)
     xr = refresh(x)
     if A.offsets is not None:
         y = A.diag * x
@@ -147,10 +151,24 @@ def bicgstab_solve(
     underflows, continuing produces 0/0 -> NaN and poisons the solution,
     so the iteration freezes instead."""
     r0 = b - _mv(A, x0, refresh)
-    r_hat = jnp.ones_like(b)
+    # Shadow residual r_hat = r0 (the standard choice). The reference
+    # uses a ones vector (linear_algebra.rs:252), which is
+    # near-orthogonal to noise-like residuals and makes rho a pure
+    # cancellation — observed to destabilize warm-started solves under
+    # TPU f64 emulation.
+    r_hat = r0
     rho0 = _dot(r0, r_hat, axis_sum)
     bnorm = _norm(b, axis_sum)
+    r0norm = _norm(r0, axis_sum)
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
+    # Warm starts at the solution must exit immediately: iterating on a
+    # pure-roundoff residual makes the Krylov recurrence a random walk
+    # on noise that can amplify without bound (observed on TPU f64
+    # emulation after SIMPLE convergence).
+    done0 = r0norm <= jnp.maximum(convergence_threshold * bnorm, tiny)
+    # Residual growth far beyond the initial scale is divergence-in-
+    # progress — freeze rather than amplify.
+    r_cap = 1e6 * (bnorm + r0norm) + tiny
 
     def _safe_div(num, den):
         return num / jnp.where(den == 0, 1.0, den)
@@ -170,13 +188,16 @@ def bicgstab_solve(
         rho_new = _dot(r_hat, r_new, axis_sum)
         beta = _safe_div(rho_new, rho) * _safe_div(alpha, omega)
         p_new = r_new + beta * (p - omega * nu)
+        rn_new = _norm(r_new, axis_sum)
         breakdown = (
             (jnp.abs(d_rn) <= tiny)
             | (d_tt <= tiny)
             | (jnp.abs(omega) <= tiny)
             | (jnp.abs(rho) <= tiny)
+            | (rn_new > r_cap)
+            | jnp.isnan(rn_new)
         )
-        conv = _norm(r_new, axis_sum) <= convergence_threshold * bnorm
+        conv = rn_new <= convergence_threshold * bnorm
         # A breakdown step's update is garbage — freeze the pre-step state.
         frozen = done | breakdown
         x = jnp.where(frozen, x, x_new)
@@ -190,7 +211,7 @@ def bicgstab_solve(
         return (~done) & (it < iterations)
 
     x, r, _, _, it, _ = lax.while_loop(
-        cond, body, (x0, r0, r0, rho0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+        cond, body, (x0, r0, r0, rho0, jnp.zeros((), jnp.int32), done0)
     )
     rn = _norm(b - _mv(A, x, refresh), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)

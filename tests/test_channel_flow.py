@@ -137,6 +137,32 @@ def test_least_squares_gradients():
         assert abs(cfd - ana) / abs(ana) < 0.06, (stat, cfd, ana)
 
 
+def test_potential_flow_init_plug_profile():
+    """Potential-flow initialization must reproduce the uniform inlet
+    velocity in a straight channel — including on one-cell-thick 3D
+    meshes where the least-squares system is z-degenerate (the ridge
+    regularization case)."""
+    from orc_tpu.mesh import structured_box_mesh
+    from orc_tpu.mesh.zones import FaceCondition
+    from orc_tpu.solver.init_fields import initialize_velocity_field
+
+    mesh, table = structured_box_mesh(8, 4, 1, lengths=(2e-3, 1e-3, 1e-4))
+    table.set("TOP_WALL", FaceCondition.WALL)
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set("INLET", FaceCondition.VELOCITY_INLET, vector_value=(1e-3, 0, 0))
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    vel, psi = initialize_velocity_field(mesh, table)
+    u = np.asarray(vel[:, 0])
+    # The psi system gets only 10 Krylov iterations (reference
+    # semantics, solver.rs:592-601) — a few percent is initialization
+    # accuracy, not solver accuracy.
+    np.testing.assert_allclose(u, 1e-3, rtol=0.05)
+    assert np.abs(np.asarray(vel[:, 1])).max() < 1e-4
+    assert abs(u.mean() - 1e-3) / 1e-3 < 0.01
+
+
 def test_velocity_inlet_mass_conservation():
     """Velocity-inlet variant (tests.rs:154-235): bulk velocity must
     match the inlet velocity by mass conservation."""
