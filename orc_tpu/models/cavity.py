@@ -61,6 +61,11 @@ def solve_cavity(
         VelocityInterpolation,
     )
 
+    from orc_tpu.utils.settings import RelaxationMode
+
+    # Enclosed recirculating flow: the reference's explicit
+    # correction-relaxation diverges here; implicit (Patankar)
+    # under-relaxation is required.
     settings = settings or NumericalSettings(
         momentum=MomentumScheme.UD,
         pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
@@ -70,8 +75,9 @@ def solve_cavity(
             iterations=50,
             preconditioner=PreconditionMethod.JACOBI,
         ),
-        pressure_relaxation=0.05,
+        pressure_relaxation=0.1,
         momentum_relaxation=0.7,
+        relaxation_mode=RelaxationMode.IMPLICIT,
     )
     rho = 1.0
     mu = lid_velocity * 1.0 / reynolds
@@ -94,8 +100,8 @@ def solve_cavity(
     vel = np.asarray(state.vel)
     cc = np.asarray(mesh.cell_centroid)
     # Diagnostics: centerline profiles (the Ghia-style cuts).
-    mid_x = np.abs(cc[:, 0] - 0.5) < 0.5 / n
-    mid_y = np.abs(cc[:, 1] - 0.5) < 0.5 / n
+    mid_x = np.abs(cc[:, 0] - 0.5) < 0.51 / n
+    mid_y = np.abs(cc[:, 1] - 0.5) < 0.51 / n
     return dict(
         mesh=mesh,
         table=table,

@@ -185,10 +185,16 @@ def momentum_system(
         rv_dt, vel_n = inertia
         a_t = rv_dt[:, None]
         s_t = rv_dt[:, None] * vel_n
-    diag = jnp.where(
-        active[:, None], a_p + diff.diag[:, None] + a_t, 1.0
-    )  # [C,3]
-    b = jnp.where(active[:, None], s_u + diff.b + s_t, 0.0)  # [C,3]
+    diag = a_p + diff.diag[:, None] + a_t  # [C,3]
+    b = s_u + diff.b + s_t  # [C,3]
+    from orc_tpu.utils.settings import RelaxationMode
+
+    if settings.relaxation_mode == RelaxationMode.IMPLICIT:
+        alpha = settings.momentum_relaxation
+        b = b + (1.0 - alpha) / alpha * diag * vel
+        diag = diag / alpha
+    diag = jnp.where(active[:, None], diag, 1.0)
+    b = jnp.where(active[:, None], b, 0.0)
 
     # "Peclet" per cell/component = a_p / diffusion diagonal
     # (discretization.rs:331-338); inactive rows excluded via NaN-free
@@ -285,7 +291,14 @@ def apply_pressure_correction(
         jnp.where(m[..., None], scaled_n * dpp[..., None], 0.0), axis=1
     )  # [C,3]
 
-    new_vel = vel + settings.momentum_relaxation * corr
+    from orc_tpu.utils.settings import RelaxationMode
+
+    corr_factor = (
+        1.0
+        if settings.relaxation_mode == RelaxationMode.IMPLICIT
+        else settings.momentum_relaxation
+    )
+    new_vel = vel + corr_factor * corr
     new_p = p + settings.pressure_relaxation * p_prime
     # Correction norms over owned/active cells only (halo slots of a
     # sharded run carry remote copies that must not be double-counted).

@@ -74,45 +74,64 @@ class CKGeometry:
 
 
 def build_ck_geometry(mesh: CompiledMesh, n_zones: int) -> CKGeometry:
-    """One-time host expansion of face geometry to [C,K]."""
-    cf = np.asarray(mesh.cell_faces)
-    m = np.asarray(mesh.cell_face_mask)
-    sgn = np.asarray(mesh.cell_face_sign)
-    area = np.asarray(mesh.face_area)[cf] * m
-    normal = np.asarray(mesh.face_normal)[cf]
-    n_out = sgn[..., None] * normal
-    fc = np.asarray(mesh.face_centroid)[cf]
-    cc = np.asarray(mesh.cell_centroid)
-    r_cf = (fc - cc[:, None, :]) * m[..., None]
-    nbr = np.asarray(mesh.cell_neighbors)
-    interior = np.asarray(mesh.face_interior)[cf] & m
-    r_on = np.where(
-        interior[..., None], cc[nbr] - cc[:, None, :], r_cf
-    )
-    dist_on = np.linalg.norm(r_on, axis=-1)
-    dist_fo = np.linalg.norm(r_cf, axis=-1)
-    dist_nf = np.linalg.norm(fc - cc[nbr], axis=-1)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        w = np.where(
-            interior, dist_fo / np.maximum(dist_fo + dist_nf, 1e-300), 0.0
+    """One-time expansion of face geometry to [C,K].
+
+    Runs ON DEVICE from the (already-resident) compact mesh arrays:
+    gathers are slow on TPU but these happen exactly once — doing the
+    expansion on host and uploading ~10 [C,K(,3)] arrays over the
+    tunnel cost minutes at 1M cells."""
+
+    @jax.jit
+    def build(mesh):
+        cf = mesh.cell_faces
+        m = mesh.cell_face_mask
+        sgn = mesh.cell_face_sign
+        area = mesh.face_area[cf] * m
+        n_out = sgn[..., None] * mesh.face_normal[cf]
+        fc = mesh.face_centroid[cf]
+        cc = mesh.cell_centroid
+        r_cf = (fc - cc[:, None, :]) * m[..., None]
+        nbr = mesh.cell_neighbors
+        interior = mesh.face_interior[cf] & m
+        r_on = jnp.where(
+            interior[..., None], cc[nbr] - cc[:, None, :], r_cf
         )
-        dist_on = np.where(m, dist_on, 1.0)
-        dist_fo = np.where(m, dist_fo, 1.0)
-    dt = mesh.dtype
-    f = lambda x: jnp.asarray(x, dtype=dt)
+        dist_on = jnp.sqrt(jnp.sum(r_on * r_on, axis=-1))
+        dist_fo = jnp.sqrt(jnp.sum(r_cf * r_cf, axis=-1))
+        d_nf = fc - cc[nbr]
+        dist_nf = jnp.sqrt(jnp.sum(d_nf * d_nf, axis=-1))
+        w = jnp.where(
+            interior,
+            dist_fo / jnp.maximum(dist_fo + dist_nf, 1e-300),
+            0.0,
+        )
+        return (
+            area,
+            n_out,
+            w,
+            r_cf,
+            r_on,
+            jnp.where(m, dist_on, 1.0),
+            jnp.where(m, dist_fo, 1.0),
+            interior,
+            m,
+            cf,
+        )
+
+    area, n_out, w, r_cf, r_on, dist_on, dist_fo, interior, m, cf = build(
+        mesh
+    )
     return CKGeometry(
-        area=f(area),
-        n_out=f(n_out),
-        w=f(w),
-        r_cf=f(r_cf),
-        r_on=f(r_on),
-        dist_on=f(dist_on),
-        dist_fo=f(dist_fo),
-        interior=jnp.asarray(interior),
-        mask=jnp.asarray(m),
-        zone_slot=jnp.asarray(
-            np.asarray(mesh.face_zone_slot)[cf], dtype=jnp.int32
-        ),
+        area=area,
+        n_out=n_out,
+        w=w,
+        r_cf=r_cf,
+        r_on=r_on,
+        dist_on=dist_on,
+        dist_fo=dist_fo,
+        interior=interior,
+        mask=m,
+        zone_slot=mesh.face_zone_slot[mesh.cell_faces].astype(jnp.int32),
         n_zones=n_zones,
     )
 
@@ -362,8 +381,16 @@ def ck_momentum(
         rv_dt, vel_n = inertia
         a_t = rv_dt[:, None]
         s_t = rv_dt[:, None] * vel_n
-    diag = jnp.where(active[:, None], a_p + diff_diag[:, None] + a_t, 1.0)
-    b = jnp.where(active[:, None], s_u + diff_b + s_t, 0.0)
+    diag = a_p + diff_diag[:, None] + a_t
+    b = s_u + diff_b + s_t
+    from orc_tpu.utils.settings import RelaxationMode
+
+    if settings.relaxation_mode == RelaxationMode.IMPLICIT:
+        alpha = settings.momentum_relaxation
+        b = b + (1.0 - alpha) / alpha * diag * vel
+        diag = diag / alpha
+    diag = jnp.where(active[:, None], diag, 1.0)
+    b = jnp.where(active[:, None], b, 0.0)
     pe = jnp.where(
         active[:, None],
         a_p / jnp.where(active, diff_diag, 1.0)[:, None],
@@ -427,7 +454,14 @@ def ck_apply_correction(
     corr = jnp.sum(
         jnp.where(ck.mask[..., None], scaled_n * dpp[..., None], 0.0), axis=1
     )
-    new_vel = vel + settings.momentum_relaxation * corr
+    from orc_tpu.utils.settings import RelaxationMode
+
+    corr_factor = (
+        1.0
+        if settings.relaxation_mode == RelaxationMode.IMPLICIT
+        else settings.momentum_relaxation
+    )
+    new_vel = vel + corr_factor * corr
     new_p = p + settings.pressure_relaxation * p_prime
     active = ck.mask.any(axis=1)
     p_sq = jnp.sum(jnp.where(active, p_prime * p_prime, 0.0))

@@ -44,6 +44,7 @@ from typing import Any, Dict, Optional, Tuple
 from orc_tpu.mesh.zones import FaceCondition
 from orc_tpu.utils.settings import (
     DiffusionScheme,
+    RelaxationMode,
     GradientReconstruction,
     MatrixSolverSettings,
     MomentumScheme,
@@ -156,6 +157,11 @@ def parse_case(text: str) -> Case:
             "gradient reconstruction",
         ),
         momentum_relaxation=float(num.get("momentum_relaxation", 0.5)),
+        relaxation_mode=_enum_of(
+            {m.value: m for m in RelaxationMode},
+            num.get("relaxation_mode", "explicit"),
+            "relaxation mode",
+        ),
         pressure_relaxation=float(num.get("pressure_relaxation", 0.01)),
         matrix_solver=solver,
     )
@@ -245,6 +251,7 @@ pressure_interpolation = "second_order"  # linear | linear_weighted | second_ord
 velocity_interpolation = "rhie_chow"  # linear | linear_weighted | rhie_chow
 gradient_reconstruction = "green_gauss_cell"  # green_gauss_cell | least_squares
 momentum_relaxation = 0.5
+relaxation_mode = "explicit"         # implicit (Patankar) for enclosed flows
 pressure_relaxation = 0.01
 
 [numerics.solver]

@@ -25,6 +25,22 @@ class PressureVelocityCoupling(enum.Enum):
     SIMPLE = "simple"
 
 
+class RelaxationMode(enum.Enum):
+    """How momentum under-relaxation is applied.
+
+    EXPLICIT: the reference's scheme — solve the unrelaxed momentum
+    system, then scale the SIMPLE velocity correction by the relaxation
+    factor (solver.rs:1221-1223). Diverges on strongly-coupled enclosed
+    flows (e.g. lid-driven cavity).
+    IMPLICIT: standard Patankar under-relaxation — divide the momentum
+    diagonal by alpha and compensate the RHS with
+    (1-alpha)/alpha * a_p * u_prev; the correction is applied in full.
+    """
+
+    EXPLICIT = "explicit"
+    IMPLICIT = "implicit"
+
+
 class MomentumScheme(enum.Enum):
     """Momentum advection discretization (reference: lib.rs:95-105)."""
 
@@ -159,6 +175,7 @@ class NumericalSettings:
         GradientReconstruction.GREEN_GAUSS_CELL
     )
     momentum_relaxation: float = 0.5
+    relaxation_mode: "RelaxationMode" = None  # default set in __post_init__
     # Must be very small (<<0.1) for stable SIMPLE convergence
     # (reference: lib.rs:31-32, README.md:17-19).
     pressure_relaxation: float = 0.01
@@ -171,6 +188,12 @@ class NumericalSettings:
         default_factory=MatrixSolverSettings
     )
     turbulence: TurbulenceModel = TurbulenceModel.NONE
+
+    def __post_init__(self):
+        if self.relaxation_mode is None:
+            object.__setattr__(
+                self, "relaxation_mode", RelaxationMode.EXPLICIT
+            )
 
     def replace(self, **kw) -> "NumericalSettings":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,95 @@
+"""Large-mesh single-chip benchmark: lid-driven cavity.
+
+Measures SIMPLE iterations/sec at ~1M cells (f32) on the current
+backend — the single-chip end of BASELINE.md's scale-out story.
+
+Usage: python scripts/bench_cavity.py [n] [dtype]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/orc_tpu_jax_cache"
+    )
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    dtype = (
+        jnp.float64
+        if (len(sys.argv) > 2 and sys.argv[2] == "f64")
+        else jnp.float32
+    )
+    print(f"backend: {jax.devices()}, n={n} ({n*n} cells), {jnp.dtype(dtype).name}",
+          file=sys.stderr)
+
+    from orc_tpu.models.cavity import cavity_case
+    from orc_tpu.ops.assembly import diffusion_system
+    from orc_tpu.ops.fields import device_bc, face_bc
+    from orc_tpu.ops.ck_ops import build_ck_geometry, ck_bc, ck_diffusion
+    from orc_tpu.solver.simple import _make_chunk_runner, initial_state
+    from orc_tpu.utils.settings import (
+        MatrixSolverSettings,
+        MomentumScheme,
+        NumericalSettings,
+        PreconditionMethod,
+        PressureInterpolation,
+        RelaxationMode,
+        SolutionMethod,
+        VelocityInterpolation,
+    )
+
+    t0 = time.perf_counter()
+    mesh, table = cavity_case(n=n, lid_velocity=1.0, dtype=dtype)
+    print(f"mesh build: {time.perf_counter()-t0:.1f}s "
+          f"(structured: {mesh.neighbor_offsets})", file=sys.stderr)
+    rho, mu = 1.0, 1.0 / 1000.0  # Re = 1000
+    settings = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=50,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+        pressure_relaxation=0.1,
+        momentum_relaxation=0.7,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+    )
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    fbc = face_bc(mesh, zc, zs, zv)
+    diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
+    t0 = time.perf_counter()
+    ck = build_ck_geometry(mesh, len(table.zone_ids))
+    ck_diff = ck_diffusion(mesh, ck, ck_bc(ck, zc, zs, zv), jnp.asarray(mu, mesh.dtype))
+    print(f"ck geometry: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    n_iters = 50
+    run = _make_chunk_runner(mesh, settings, diff, n_iters, {}, ck=ck, ck_diff=ck_diff)
+    state = initial_state(mesh)
+    t0 = time.perf_counter()
+    state, _ = run(state, zc, zs, zv, rho, mu)
+    jax.block_until_ready(state)
+    print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    state, m = run(state, zc, zs, zv, rho, mu)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    u = np.asarray(state.vel[:, 0])
+    assert np.isfinite(u).all()
+    print(
+        f"{n_iters} iterations in {dt:.2f}s -> {n_iters/dt:.2f} iters/sec "
+        f"({1e3*dt/n_iters:.2f} ms/iter) at {n*n} cells; "
+        f"u range [{u.min():.3f}, {u.max():.3f}]"
+    )
+
+
+if __name__ == "__main__":
+    main()
