@@ -114,17 +114,27 @@ def main():
     run = _make_chunk_runner(
         mesh, settings, diff, n_iters, {}, ck=ck, ck_diff=ck_diff
     )
+    import numpy as np
+
     t0 = time.perf_counter()
     state, _ = run(state, zc, zs, zv, rho, mu)
-    jax.block_until_ready(state)
+    _ = np.asarray(state.p)  # host materialization = hard barrier
     print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    state, _ = run(state, zc, zs, zv, rho, mu)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-
-    import numpy as np
+    # Median of several dependent dispatches; each is closed by a
+    # device-to-host copy (block_until_ready alone can misreport through
+    # the axon tunnel and yield bogus ~0 timings).
+    times = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        state, _ = run(state, zc, zs, zv, rho, mu)
+        _ = np.asarray(state.p)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    print(
+        "dispatch times: " + ", ".join(f"{t:.3f}s" for t in times),
+        file=sys.stderr,
+    )
 
     u = np.asarray(state.vel[:, 0])
     assert np.isfinite(u).all(), "benchmark produced non-finite fields"

@@ -78,12 +78,18 @@ def main():
     state, _ = run(state, zc, zs, zv, rho, mu)
     jax.block_until_ready(state)
     print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    state, m = run(state, zc, zs, zv, rho, mu)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
+    # Median of several dispatches (the first post-warmup dispatch can
+    # report a bogus near-zero time through the tunnel).
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state, m = run(state, zc, zs, zv, rho, mu)
+        jax.block_until_ready(state)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
     u = np.asarray(state.vel[:, 0])
     assert np.isfinite(u).all()
+    assert np.abs(u).max() < 2.0, "cavity fields not physical"
     print(
         f"{n_iters} iterations in {dt:.2f}s -> {n_iters/dt:.2f} iters/sec "
         f"({1e3*dt/n_iters:.2f} ms/iter) at {n*n} cells; "
