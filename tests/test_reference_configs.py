@@ -1,0 +1,108 @@
+"""The remaining BASELINE.json reference configurations, end-to-end:
+
+- channel_flow.msh with pressure inlet/outlet + QUICK/UMIST limiters
+  (config 3)
+- mixed-cell 3x3_cube.msh exercising the padded variable-face-count
+  path (config 4)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from orc_tpu.mesh import read_mesh
+from orc_tpu.mesh.zones import FaceCondition
+from orc_tpu.solver.simple import initial_state, solve_steady
+from orc_tpu.utils.settings import (
+    MatrixSolverSettings,
+    MomentumScheme,
+    NumericalSettings,
+    PreconditionMethod,
+    PressureInterpolation,
+    SolutionMethod,
+    VelocityInterpolation,
+    tvd_quick,
+    tvd_umist,
+)
+
+SOLVER = MatrixSolverSettings(
+    solver_type=SolutionMethod.BICGSTAB,
+    iterations=50,
+    preconditioner=PreconditionMethod.JACOBI,
+)
+
+
+@pytest.mark.parametrize("psi", [tvd_quick, tvd_umist])
+def test_channel_flow_mesh_tvd(reference_mesh_dir, psi):
+    """channel_flow.msh (1008 cells, graded), dp/dx-driven, TVD
+    limiters. Compare against the analytical Poiseuille bulk velocity
+    (the duct is 2 mm x 1 mm like the couette fixture)."""
+    mesh, table = read_mesh(
+        os.path.join(reference_mesh_dir, "channel_flow.msh")
+    )
+    dp_dx, mu, rho = 5.0, 0.001, 1000.0
+    table.set("WALL", FaceCondition.WALL)
+    table.set("INLET", FaceCondition.PRESSURE_INLET, scalar_value=dp_dx * 0.002)
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    settings = NumericalSettings(
+        momentum=MomentumScheme.TVD,
+        tvd_psi=psi,
+        pressure_interpolation=PressureInterpolation.SECOND_ORDER,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        matrix_solver=SOLVER,
+        pressure_relaxation=0.02,
+    )
+    state, _ = solve_steady(
+        mesh, table, settings, rho, mu,
+        state=initial_state(mesh), iterations=1200, reporting_interval=1200,
+        verbose=False,
+    )
+    u = np.asarray(state.vel[:, 0])
+    assert np.isfinite(u).all()
+    h = 0.001
+    u_mean_analytical = h**2 / (12 * mu) * dp_dx  # 4.167e-4 (flow in -x)
+    assert abs(abs(u.mean()) - u_mean_analytical) / u_mean_analytical < 0.1, (
+        u.mean(), u_mean_analytical
+    )
+
+
+def test_3x3_cube_solve(reference_mesh_dir):
+    """Mixed-zone 3x3_cube.msh driven by a pressure drop
+    (main.rs:287-343's configuration, with assertions)."""
+    mesh, table = read_mesh(os.path.join(reference_mesh_dir, "3x3_cube.msh"))
+    table.set("INLET", FaceCondition.PRESSURE_INLET, scalar_value=1.0)
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("PERIODIC_-Z", FaceCondition.WALL)
+    table.set("PERIODIC_+Z", FaceCondition.WALL)
+    # remaining zones (walls) keep their default WALL typing
+    for fz in table.zones.values():
+        if fz.zone_type not in (
+            FaceCondition.INTERIOR,
+            FaceCondition.PRESSURE_INLET,
+            FaceCondition.PRESSURE_OUTLET,
+        ):
+            table.set(fz.name, FaceCondition.WALL)
+    settings = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        matrix_solver=SOLVER,
+        pressure_relaxation=0.05,
+    )
+    mu, rho = 100.0, 1000.0
+    state, _ = solve_steady(
+        mesh, table, settings, rho, mu,
+        state=initial_state(mesh), iterations=300, reporting_interval=300,
+        verbose=False,
+    )
+    vel = np.asarray(state.vel)
+    p = np.asarray(state.p)
+    assert np.isfinite(vel).all() and np.isfinite(p).all()
+    # Pressure drop drives flow toward the outlet; direction depends on
+    # the INLET zone's face orientation — assert through-flow exists and
+    # pressure is monotone-ish between the BC values.
+    assert np.abs(vel).max() > 1e-8
+    assert p.min() > -0.2 and p.max() < 1.2
