@@ -123,6 +123,28 @@ def cmd_run(args):
     if case.checkpoint_file:
         save_checkpoint(case.checkpoint_file, mesh, state, case.iterations)
         print(f"wrote {case.checkpoint_file}")
+    vtk_path = args.vtk or case.vtk_file
+    if vtk_path:
+        import tempfile
+
+        from orc_tpu.io.vtk import write_solution_vtk
+
+        if case.mesh_path:
+            write_solution_vtk(vtk_path, case.mesh_path, state)
+        else:
+            from orc_tpu.mesh.generate import write_tgrid
+
+            g = dict(case.generate)
+            with tempfile.NamedTemporaryFile("w", suffix=".msh") as tf:
+                write_tgrid(
+                    tf.name,
+                    int(g.get("nx", 8)),
+                    int(g.get("ny", 8)),
+                    int(g.get("nz", 1)),
+                    lengths=tuple(g.get("lengths", (1.0, 1.0, 1.0))),
+                )
+                write_solution_vtk(vtk_path, tf.name, state)
+        print(f"wrote {vtk_path}")
     if args.history:
         from orc_tpu.solver.simple import save_history
 
@@ -172,6 +194,12 @@ def main(argv=None):
     p_run.add_argument("case")
     p_run.add_argument("--iterations", type=int, default=None)
     p_run.add_argument("--devices", default=None)
+    p_run.add_argument(
+        "--vtk",
+        default=None,
+        help="write the solution as a legacy VTK unstructured grid "
+        "(overrides the case file's vtk_file)",
+    )
     p_run.add_argument(
         "--history",
         default=None,

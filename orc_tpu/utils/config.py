@@ -89,6 +89,7 @@ class Case:
     data_file: Optional[str]
     gradients_file: Optional[str]
     checkpoint_file: Optional[str]
+    vtk_file: Optional[str]
     rho: float
     mu: float
     settings: NumericalSettings
@@ -180,6 +181,7 @@ def parse_case(text: str) -> Case:
         data_file=case.get("data_file"),
         gradients_file=case.get("gradients_file"),
         checkpoint_file=case.get("checkpoint_file"),
+        vtk_file=case.get("vtk_file"),
         rho=float(fluid.get("rho", 1000.0)),
         mu=float(fluid.get("mu", 0.001)),
         settings=settings,
@@ -232,6 +234,7 @@ reporting_interval = 100
 data_file = "out/solution.csv"        # also the warm-start source
 gradients_file = "out/gradients.csv"
 checkpoint_file = "out/checkpoint.npz"
+# vtk_file = "out/solution.vtk"       # legacy VTK for ParaView/VisIt
 
 # Alternative to `mesh`: generate a structured box. NOTE: keep this
 # sub-table *after* the plain [case] keys (TOML table scoping).

@@ -122,10 +122,12 @@ def test_cli_run_end_to_end(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert data.exists() and ck.exists()
     assert "Complete in" in out.stdout
-    # Warm restart must pick up the data file.
+    # Warm restart must pick up the data file; also exercise --vtk on a
+    # generated-mesh case (round-trips through a temp TGRID file).
+    vtk = tmp_path / "sol.vtk"
     out2 = subprocess.run(
         [sys.executable, "-m", "orc_tpu", "run", str(case_path),
-         "--iterations", "5"],
+         "--iterations", "5", "--vtk", str(vtk)],
         capture_output=True,
         text=True,
         env=env,
@@ -133,6 +135,10 @@ def test_cli_run_end_to_end(tmp_path):
         timeout=600,
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
+    assert vtk.exists()
+    from orc_tpu.io.vtk import read_vtk_cell_data
+
+    assert read_vtk_cell_data(str(vtk))["velocity"].shape == (36, 3)
 
 
 def test_cli_init_case():

@@ -109,3 +109,92 @@ def test_warm_start_semantics(tmp_path):
     st2 = load_or_initialize(str(data), mesh, table, mu=0.001, rho=1000.0)
     np.testing.assert_allclose(np.asarray(st2.vel), 0.25, rtol=1e-9)
     np.testing.assert_allclose(np.asarray(st2.p), 7.0, rtol=1e-9)
+
+
+# ---------------------------------------------------------------- VTK
+
+
+def test_vtk_2d_polygon_areas(reference_mesh_dir, tmp_path):
+    """2D mesh -> VTK_POLYGON cells whose shoelace areas reproduce the
+    mesh cell volumes (loop ordering + connectivity are both right)."""
+    from orc_tpu.io.vtk import write_vtk
+    from orc_tpu.mesh import read_mesh
+    from orc_tpu.mesh.tgrid import parse_tgrid
+
+    msh = os.path.join(reference_mesh_dir, "2D_3x6.msh")
+    mesh, _ = read_mesh(msh)
+    with open(msh) as f:
+        raw = parse_tgrid(f.read())
+    out = tmp_path / "mesh2d.vtk"
+    write_vtk(str(out), raw, cell_data={"volume": np.asarray(mesh.cell_volume)})
+    lines = out.read_text().splitlines()
+    pts_i = next(i for i, l in enumerate(lines) if l.startswith("POINTS"))
+    n_pts = int(lines[pts_i].split()[1])
+    pts = np.array(
+        [[float(x) for x in lines[pts_i + 1 + i].split()] for i in range(n_pts)]
+    )
+    cells_i = next(i for i, l in enumerate(lines) if l.startswith("CELLS"))
+    n_cells = int(lines[cells_i].split()[1])
+    assert n_cells == mesh.n_cells
+    vol = np.asarray(mesh.cell_volume)
+    for c in range(n_cells):
+        tok = [int(t) for t in lines[cells_i + 1 + c].split()]
+        loop = tok[1:]
+        assert len(loop) == tok[0] >= 3
+        xy = pts[loop][:, :2]
+        area = 0.5 * abs(
+            np.sum(xy[:, 0] * np.roll(xy[:, 1], -1) - np.roll(xy[:, 0], -1) * xy[:, 1])
+        )
+        np.testing.assert_allclose(area, vol[c], rtol=1e-12)
+    types_i = next(i for i, l in enumerate(lines) if l.startswith("CELL_TYPES"))
+    assert all(lines[types_i + 1 + c] == "7" for c in range(n_cells))
+
+
+def test_vtk_3d_polyhedron_roundtrip(tmp_path):
+    """3D box -> VTK_POLYHEDRON face streams; cell data round-trips."""
+    from orc_tpu.io.vtk import read_vtk_cell_data, write_vtk
+    from orc_tpu.mesh.generate import write_tgrid
+    from orc_tpu.mesh.tgrid import parse_tgrid
+
+    msh = tmp_path / "box.msh"
+    write_tgrid(str(msh), 4, 3, 2, lengths=(4.0, 3.0, 2.0))
+    with open(msh) as f:
+        raw = parse_tgrid(f.read())
+    out = tmp_path / "box.vtk"
+    scalar = np.arange(raw.n_cells, dtype=float)
+    vec = np.stack([scalar, 2 * scalar, -scalar], axis=1)
+    write_vtk(str(out), str(msh), cell_data={"s": scalar, "velocity": vec})
+    lines = out.read_text().splitlines()
+    types_i = next(i for i, l in enumerate(lines) if l.startswith("CELL_TYPES"))
+    assert all(
+        lines[types_i + 1 + c] == "42" for c in range(raw.n_cells)
+    )  # VTK_POLYHEDRON
+    # Every hex cell's face stream: 6 faces x 4 nodes -> 1 + 6*5 = 31 ints.
+    cells_i = next(i for i, l in enumerate(lines) if l.startswith("CELLS"))
+    for c in range(raw.n_cells):
+        tok = [int(t) for t in lines[cells_i + 1 + c].split()]
+        assert tok[0] == 31 and tok[1] == 6
+    data = read_vtk_cell_data(str(out))
+    np.testing.assert_allclose(data["s"], scalar)
+    np.testing.assert_allclose(data["velocity"], vec)
+
+
+def test_vtk_solution_write(tmp_path):
+    """write_solution_vtk packages a FlowState; field-size mismatch is
+    rejected."""
+    from orc_tpu.io.vtk import read_vtk_cell_data, write_solution_vtk, write_vtk
+    from orc_tpu.mesh.generate import write_tgrid
+    from orc_tpu.solver.simple import initial_state
+    from orc_tpu.mesh import read_mesh
+
+    msh = tmp_path / "s.msh"
+    write_tgrid(str(msh), 3, 3, 1)
+    mesh, _ = read_mesh(str(msh))
+    state = initial_state(mesh)
+    out = tmp_path / "s.vtk"
+    write_solution_vtk(str(out), str(msh), state)
+    data = read_vtk_cell_data(str(out))
+    assert data["velocity"].shape == (mesh.n_cells, 3)
+    assert data["pressure"].shape == (mesh.n_cells,)
+    with pytest.raises(ValueError, match="entries for"):
+        write_vtk(str(tmp_path / "bad.vtk"), str(msh), {"x": np.zeros(5)})
