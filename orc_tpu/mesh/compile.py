@@ -73,6 +73,10 @@ class CompiledMesh:
     neighbor_offsets: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # Optional vertex-interpolation tables for node-based Green-Gauss
+    # (mesh/nodes.py); built on request since they need the raw
+    # face-node topology the compiled mesh otherwise discards.
+    nodes: "object | None" = None
 
     @property
     def n_cells(self) -> int:
@@ -91,8 +95,12 @@ class CompiledMesh:
         return self.cell_volume.dtype
 
 
-def compile_mesh(raw: RawMesh, dtype=jnp.float64):
-    """Compile a parsed mesh into (CompiledMesh, BoundaryTable)."""
+def compile_mesh(raw: RawMesh, dtype=jnp.float64, nodes: bool = False):
+    """Compile a parsed mesh into (CompiledMesh, BoundaryTable).
+
+    `nodes=True` additionally builds the vertex-interpolation tables
+    required by node-based Green-Gauss gradients (mesh/nodes.py).
+    """
     geo = derive_geometry(raw)
     table = BoundaryTable(raw.face_zones)
     zone_slot = np.array(
@@ -110,6 +118,11 @@ def compile_mesh(raw: RawMesh, dtype=jnp.float64):
         cell_volume=geo.cell_volume,
         dtype=dtype,
     )
+    if nodes:
+        from orc_tpu.mesh.nodes import build_node_interp
+
+        ni = build_node_interp(raw, geo.cell_centroid, dtype=mesh.dtype)
+        mesh = dataclasses.replace(mesh, nodes=ni)
     return mesh, table
 
 

@@ -255,6 +255,7 @@ def read_mesh(
     verbose: bool = False,
     native: str | bool = "auto",
     dtype=None,
+    nodes: bool = False,
 ):
     """Read a TGRID mesh file and compile it to device arrays.
 
@@ -264,6 +265,9 @@ def read_mesh(
     `native`: "auto" tries the C++ parser (native/tgrid_reader.cpp) and
     falls back to this module's Python parser; True requires it; False
     forces Python.
+
+    `nodes=True` also builds the vertex-interpolation tables required
+    by node-based Green-Gauss gradients (mesh/nodes.py).
     """
     from orc_tpu.mesh.compile import compile_mesh
 
@@ -287,5 +291,5 @@ def read_mesh(
         for zid, fz in sorted(raw.face_zones.items()):
             print(f"  face zone {zid}: {fz.zone_type.name} ({fz.name})")
     if dtype is None:
-        return compile_mesh(raw)
-    return compile_mesh(raw, dtype=dtype)
+        return compile_mesh(raw, nodes=nodes)
+    return compile_mesh(raw, dtype=dtype, nodes=nodes)

@@ -86,6 +86,29 @@ def _ls_rows(mesh: CompiledMesh):
     return jnp.where(mesh.cell_face_mask[..., None], d, 0.0), interior
 
 
+def _node_face_values(mesh: CompiledMesh, phi, phi_f_bc):
+    """Vertex-interpolated face values for node-based Green-Gauss.
+
+    Interior faces average the IDW vertex values (mesh/nodes.py);
+    boundary faces keep the BC-aware face value `phi_f_bc` (vertex
+    averages at boundaries would ignore the BC data). The reference's
+    NodeBased variant panics (solver.rs:901); this implements it.
+    """
+    if mesh.nodes is None:
+        raise ValueError(
+            "node-based Green-Gauss needs vertex tables: load the mesh "
+            "with read_mesh(..., nodes=True) / compile_mesh(..., "
+            "nodes=True)"
+        )
+    from orc_tpu.mesh.nodes import node_face_values
+
+    pf_node = node_face_values(mesh.nodes, phi)
+    interior = mesh.face_interior
+    if phi_f_bc.ndim == 2:
+        interior = interior[:, None]
+    return jnp.where(interior, pf_node, phi_f_bc)
+
+
 def pressure_gradient(
     mesh: CompiledMesh,
     fbc: FaceBC,
@@ -99,6 +122,9 @@ def pressure_gradient(
     if scheme == GradientReconstruction.GREEN_GAUSS_CELL:
         pf = face_pressure(mesh, fbc, p, PressureInterpolation.LINEAR)
         return _green_gauss(mesh, pf)
+    if scheme == GradientReconstruction.GREEN_GAUSS_NODE:
+        pf = face_pressure(mesh, fbc, p, PressureInterpolation.LINEAR)
+        return _green_gauss(mesh, _node_face_values(mesh, p, pf))
     if scheme == GradientReconstruction.LEAST_SQUARES:
         d, interior = _ls_rows(mesh)
         cf = mesh.cell_faces
@@ -126,6 +152,9 @@ def velocity_gradient(
     if scheme == GradientReconstruction.GREEN_GAUSS_CELL:
         vf = face_velocity(mesh, fbc, vel, VelocityInterpolation.LINEAR)
         return _green_gauss(mesh, vf)
+    if scheme == GradientReconstruction.GREEN_GAUSS_NODE:
+        vf = face_velocity(mesh, fbc, vel, VelocityInterpolation.LINEAR)
+        return _green_gauss(mesh, _node_face_values(mesh, vel, vf))
     if scheme == GradientReconstruction.LEAST_SQUARES:
         d, interior = _ls_rows(mesh)
         cf = mesh.cell_faces

@@ -498,7 +498,25 @@ def solve_steady(
     diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
 
     ck = ck_diff = None
-    if use_ck is True or (use_ck == "auto" and mesh.n_cells <= CK_AUTO_MAX_CELLS):
+    # The (c,k)-direct step computes Green-Gauss cell gradients only;
+    # LSQ / node-based runs must take the face-major path.
+    from orc_tpu.utils.settings import GradientReconstruction
+
+    ck_grad_ok = (
+        settings.gradient_reconstruction
+        == GradientReconstruction.GREEN_GAUSS_CELL
+    )
+    if use_ck is True and not ck_grad_ok:
+        raise ValueError(
+            "use_ck=True requires green_gauss_cell gradients (the "
+            f"ck-direct step does not implement "
+            f"{settings.gradient_reconstruction})"
+        )
+    if use_ck is True or (
+        use_ck == "auto"
+        and ck_grad_ok
+        and mesh.n_cells <= CK_AUTO_MAX_CELLS
+    ):
         from orc_tpu.ops.ck_ops import build_ck_geometry, ck_bc, ck_diffusion
 
         ck = build_ck_geometry(mesh, len(table.zone_ids))

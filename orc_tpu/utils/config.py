@@ -197,13 +197,23 @@ def load_case(path: str) -> Case:
 
 def build_problem(case: Case):
     """(mesh, table) with BCs from the case file applied."""
+    need_nodes = (
+        case.settings.gradient_reconstruction
+        == GradientReconstruction.GREEN_GAUSS_NODE
+    )
     if case.mesh_path:
         from orc_tpu.mesh import read_mesh
 
-        mesh, table = read_mesh(case.mesh_path)
+        mesh, table = read_mesh(case.mesh_path, nodes=need_nodes)
     else:
         from orc_tpu.mesh import structured_box_mesh
 
+        if need_nodes:
+            raise ValueError(
+                "green_gauss_node needs the mesh file's vertex topology; "
+                "write the generated mesh with write_tgrid and point "
+                "`mesh` at it instead of using [case.generate]"
+            )
         g = dict(case.generate)
         mesh, table = structured_box_mesh(
             int(g.get("nx", 8)),
@@ -252,7 +262,7 @@ mu = 0.001
 momentum = "cd1"                      # ud | cd1 | tvd_lud | tvd_quick | tvd_umist
 pressure_interpolation = "second_order"  # linear | linear_weighted | second_order
 velocity_interpolation = "rhie_chow"  # linear | linear_weighted | rhie_chow
-gradient_reconstruction = "green_gauss_cell"  # green_gauss_cell | least_squares
+gradient_reconstruction = "green_gauss_cell"  # green_gauss_cell | green_gauss_node | least_squares
 momentum_relaxation = 0.5
 relaxation_mode = "explicit"         # implicit (Patankar) for enclosed flows
 pressure_relaxation = 0.01

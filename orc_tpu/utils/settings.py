@@ -73,8 +73,9 @@ class VelocityInterpolation(enum.Enum):
 class GradientReconstruction(enum.Enum):
     """Cell-gradient reconstruction (reference: lib.rs:148-162).
 
-    GREEN_GAUSS_NODE is enumerated for parity but unimplemented (the
-    reference's NodeBased variant panics too, solver.rs:901)."""
+    GREEN_GAUSS_NODE (vertex-interpolated face values; the reference's
+    NodeBased variant panics, solver.rs:901) needs a mesh loaded with
+    read_mesh(..., nodes=True)."""
 
     GREEN_GAUSS_CELL = "green_gauss_cell"
     GREEN_GAUSS_NODE = "green_gauss_node"
