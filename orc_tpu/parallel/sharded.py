@@ -111,11 +111,19 @@ def make_sharded_step(
     settings: NumericalSettings,
     device_mesh: Mesh,
     n_steps: int = 1,
+    use_ck: bool = False,
+    n_zones: int = 0,
 ):
     """Build the jitted shard_map'ed n-step SIMPLE runner.
 
     Returns run(local_state, zc, zs, zv, rho, mu) -> (state, metrics).
-    """
+
+    `use_ck=True` runs the gather-free (c,k)-direct step per device:
+    the stacked per-partition CKGeometry is expanded once here (vmap
+    over local meshes) and sharded alongside the mesh, and the step's
+    neighbor shifts read ghost-layer slots refreshed by ppermute — the
+    distributed SpMV/assembly stays on the roll path end-to-end when
+    the partitioner preserved structured offsets (slab)."""
     if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
         raise NotImplementedError(
             "multigrid is single-device for now; use BICGSTAB/JACOBI/"
@@ -123,12 +131,20 @@ def make_sharded_step(
         )
     lm = partition.local_mesh
 
+    stacked_ck = None
+    if use_ck:
+        from orc_tpu.ops.ck_ops import build_ck_geometry
+
+        stacked_ck = jax.vmap(
+            lambda m: build_ck_geometry(m, n_zones)
+        )(lm)
+
     # Shard every stacked array's leading axis over the device mesh;
     # zone tables and scalars are replicated.
     shard = P(AXIS)
     repl = P()
 
-    def step_fn(lmesh, send_idx, recv_idx, state, zc, zs, zv, rho, mu):
+    def step_fn(lmesh, ck, send_idx, recv_idx, state, zc, zs, zv, rho, mu):
         # shard_map delivers [1, ...] blocks: drop the part axis.
         sq = lambda t: jax.tree.map(lambda a: a[0], t)
         lmesh = sq(lmesh)
@@ -136,22 +152,40 @@ def make_sharded_step(
         recv_idx = sq(recv_idx)
         state = sq(state)
         comm = ShardedComm(partition, send_idx, recv_idx)
-        fbc = face_bc(lmesh, zc, zs, zv)
-        diff = diffusion_system(lmesh, fbc, mu)
+        if use_ck:
+            from orc_tpu.ops.ck_ops import ck_bc, ck_diffusion
+            from orc_tpu.solver.simple import ck_simple_step
 
-        def body(s, _):
-            return simple_step(
-                lmesh, zc, zs, zv, settings, rho, mu, diff, s, comm=comm
-            )
+            ck = sq(ck)
+            bc = ck_bc(ck, zc, zs, zv)
+            ck_diff = ck_diffusion(lmesh, ck, bc, mu)
+
+            def body(s, _):
+                return ck_simple_step(
+                    lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s,
+                    comm=comm,
+                )
+
+        else:
+            fbc = face_bc(lmesh, zc, zs, zv)
+            diff = diffusion_system(lmesh, fbc, mu)
+
+            def body(s, _):
+                return simple_step(
+                    lmesh, zc, zs, zv, settings, rho, mu, diff, s, comm=comm
+                )
 
         state, metrics = lax.scan(body, state, None, length=n_steps)
         add_axis = lambda t: jax.tree.map(lambda a: a[None], t)
         return add_axis(state), metrics
 
+    ck_spec = shard if stacked_ck is not None else repl
     mapped = jax.shard_map(
         step_fn,
         mesh=device_mesh,
-        in_specs=(shard, shard, shard, shard, repl, repl, repl, repl, repl),
+        in_specs=(
+            shard, ck_spec, shard, shard, shard, repl, repl, repl, repl, repl,
+        ),
         out_specs=(shard, repl),
         check_vma=False,
     )
@@ -160,6 +194,7 @@ def make_sharded_step(
     def run(local_state, zc, zs, zv, rho, mu):
         return mapped(
             lm,
+            stacked_ck,
             partition.send_idx,
             partition.recv_idx,
             local_state,
@@ -186,15 +221,23 @@ def solve_steady_sharded(
     verbose: bool = True,
     check_divergence: bool = True,
     partition_method: str = "auto",
+    use_ck: str | bool = "auto",
 ):
     """Multi-device drop-in for solve_steady: partitions the mesh over
     all available devices, runs the sharded SIMPLE loop, and returns the
     *global* FlowState plus metrics history.
 
     partition_method: "slab" (ghost layers, gather-free SpMV on
-    structured meshes), "rcb", or "auto"."""
+    structured meshes), "rcb", or "auto".
+
+    use_ck: "auto" picks the gather-free (c,k)-direct step when the
+    local partitions stayed on the structured-offset (roll) path and
+    the settings are compatible (green_gauss_cell gradients, local
+    size under the ck memory ceiling); True forces it; False forces
+    the face-major step."""
     from orc_tpu.parallel.partition import partition_mesh
-    from orc_tpu.solver.simple import initial_state
+    from orc_tpu.solver.simple import CK_AUTO_MAX_CELLS, initial_state
+    from orc_tpu.utils.settings import GradientReconstruction
 
     table.validate_supported()
     devices = jax.devices()[: n_devices or len(jax.devices())]
@@ -203,13 +246,32 @@ def solve_steady_sharded(
     partition = partition_mesh(mesh, n, method=partition_method)
     reporting_interval = max(1, min(reporting_interval, iterations))
 
+    ck_grad_ok = (
+        settings.gradient_reconstruction
+        == GradientReconstruction.GREEN_GAUSS_CELL
+    )
+    if use_ck is True and not ck_grad_ok:
+        raise ValueError(
+            "use_ck=True requires green_gauss_cell gradients (the "
+            f"ck-direct step does not implement "
+            f"{settings.gradient_reconstruction})"
+        )
+    n_local = partition.local_mesh.cell_volume.shape[1]
+    if use_ck == "auto":
+        use_ck = (
+            ck_grad_ok
+            and partition.local_mesh.neighbor_offsets is not None
+            and n_local <= CK_AUTO_MAX_CELLS
+        )
+
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     if state is None:
         state = initial_state(mesh)
     local = scatter_state(partition, state)
 
     run = make_sharded_step(
-        partition, settings, device_mesh, n_steps=reporting_interval
+        partition, settings, device_mesh, n_steps=reporting_interval,
+        use_ck=bool(use_ck), n_zones=len(table.zone_ids),
     )
     history = []
     done = 0
@@ -217,7 +279,10 @@ def solve_steady_sharded(
     while done < iterations:
         k = min(reporting_interval, iterations - done)
         if k != reporting_interval:
-            run = make_sharded_step(partition, settings, device_mesh, n_steps=k)
+            run = make_sharded_step(
+                partition, settings, device_mesh, n_steps=k,
+                use_ck=bool(use_ck), n_zones=len(table.zone_ids),
+            )
         local, metrics = run(local, zc, zs, zv, rho, mu)
         jax.block_until_ready(local)
         done += k

@@ -295,11 +295,15 @@ def ck_simple_step(
     state: FlowState,
     solver_extras: Optional[dict] = None,
     inertia=None,
+    comm: Optional[NullComm] = None,
 ):
     """One SIMPLE iteration in the gather-free (c,k)-direct formulation
-    (see orc_tpu.ops.ck_ops) — the fast single-device path for
-    structured meshes. Semantically identical to `simple_step`
-    (equivalence pinned by tests/test_ck.py)."""
+    (see orc_tpu.ops.ck_ops) — the fast path for structured meshes.
+    Semantically identical to `simple_step` (equivalence pinned by
+    tests/test_ck.py). Like `simple_step` it runs unchanged under
+    `shard_map`: `comm.refresh` fills ghost-layer slots before every
+    neighbor shift, so the slab-partitioned distributed run keeps the
+    gather-free roll formulation end-to-end."""
     from orc_tpu.ops.ck_ops import (
         ck_apply_correction,
         ck_bc,
@@ -313,19 +317,22 @@ def ck_simple_step(
     )
 
     solver_extras = solver_extras or {}
+    comm = comm or NullComm()
     bc = ck_bc(ck, zone_codes, zone_scalar, zone_vector)
     diff_diag, diff_off, diff_b = ck_diff
-    vel, p, mom_diag = state.vel, state.p, state.mom_diag
+    vel = comm.refresh(state.vel)
+    p = comm.refresh(state.p)
+    mom_diag = comm.refresh(state.mom_diag)
     active = ck.mask.any(axis=1)
 
     vel_nbr = nbr_values(mesh, vel)
     need_gp = _needs_grad_p(settings)
     grad_p = grad_p_nbr = None
     if need_gp:
-        grad_p = ck_pressure_gradient(mesh, ck, bc, p)
+        grad_p = comm.refresh(ck_pressure_gradient(mesh, ck, bc, p))
         grad_p_nbr = nbr_values(mesh, grad_p)
     grad_v = (
-        ck_velocity_gradient(mesh, ck, bc, vel, vel_nbr=vel_nbr)
+        comm.refresh(ck_velocity_gradient(mesh, ck, bc, vel, vel_nbr=vel_nbr))
         if settings.momentum in (MomentumScheme.TVD, MomentumScheme.CD2)
         else None
     )
@@ -352,13 +359,19 @@ def ck_simple_step(
             diag=diag, off=off, neighbors=A3.neighbors, offsets=A3.offsets
         )
         return iterative_solve(
-            Ai, b, x0, settings.matrix_solver, **solver_extras
+            Ai,
+            b,
+            x0,
+            settings.matrix_solver,
+            axis_sum=comm.axis_sum,
+            refresh=comm.refresh,
+            **solver_extras,
         )
 
     x0 = jnp.where(active[None, :], jnp.moveaxis(vel, -1, 0), 0.0)
     sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
-    new_vel = jnp.moveaxis(sol, 0, -1)
-    new_mom_diag = jnp.moveaxis(A3.diag, 0, -1)
+    new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
+    new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
     new_md_nbr = nbr_values(mesh, new_mom_diag)
     new_vel_nbr = nbr_values(mesh, new_vel)
 
@@ -372,27 +385,39 @@ def ck_simple_step(
         mesh, ck, bc, rho, F2, new_mom_diag, mom_diag_nbr=new_md_nbr
     )
     p_prime, p_info = iterative_solve(
-        Pmat, b_p, jnp.zeros_like(p), settings.matrix_solver, **solver_extras
+        Pmat,
+        b_p,
+        jnp.zeros_like(p),
+        settings.matrix_solver,
+        axis_sum=comm.axis_sum,
+        refresh=comm.refresh,
+        **solver_extras,
     )
+    p_prime = comm.refresh(p_prime)
     vel3, p_new, (p_corr_sq, vel_corr_sq) = ck_apply_correction(
         mesh, ck, bc, settings, p_prime, new_mom_diag, new_vel, p
     )
 
-    n_active = jnp.sum(active)
+    n_active = comm.axis_sum(jnp.sum(active))
     vel_avg = (
-        jnp.sum(jnp.where(active[:, None], vel3, 0.0), axis=0) / n_active
+        comm.axis_sum(jnp.sum(jnp.where(active[:, None], vel3, 0.0), axis=0))
+        / n_active
     )
     inf = jnp.asarray(jnp.inf, pe.dtype)
     metrics = StepMetrics(
         vel_avg=vel_avg,
-        peclet_avg=jnp.sum(pe) / (3.0 * n_active),
-        peclet_min=jnp.min(jnp.where(active[:, None], pe, inf)),
-        peclet_max=jnp.max(jnp.where(active[:, None], pe, -inf)),
-        p_corr_norm=jnp.sqrt(p_corr_sq),
-        vel_corr_norm=jnp.sqrt(vel_corr_sq),
+        peclet_avg=comm.axis_sum(jnp.sum(pe)) / (3.0 * n_active),
+        peclet_min=comm.axis_min(
+            jnp.min(jnp.where(active[:, None], pe, inf))
+        ),
+        peclet_max=comm.axis_max(
+            jnp.max(jnp.where(active[:, None], pe, -inf))
+        ),
+        p_corr_norm=jnp.sqrt(comm.axis_sum(p_corr_sq)),
+        vel_corr_norm=jnp.sqrt(comm.axis_sum(vel_corr_sq)),
         mom_residual=info.residual,
         pc_residual=p_info.residual,
-        diverged=(
+        diverged=comm.axis_max(
             jnp.any(jnp.isnan(vel_avg))
             | jnp.any(info.diverged)
             | p_info.diverged

@@ -145,12 +145,21 @@ SETTINGS = NumericalSettings(
 )
 
 
-@pytest.mark.parametrize("n_devices,method", [(2, "slab"), (8, "slab"), (4, "rcb")])
-def test_sharded_matches_single_device(n_devices, method):
+@pytest.mark.parametrize(
+    "n_devices,method,ck",
+    [
+        (2, "slab", "auto"),
+        (8, "slab", True),  # gather-free (c,k)-direct step per device
+        (8, "slab", False),  # face-major step per device
+        (4, "rcb", "auto"),  # rcb drops offsets -> auto = face-major
+    ],
+)
+def test_sharded_matches_single_device(n_devices, method, ck):
     """The distributed SIMPLE loop must reproduce the single-device
     trajectory (tolerance covers reduction-order differences), with both
     the ghost-layer slab partitioner (structured, gather-free SpMV) and
-    the general RCB partitioner."""
+    the general RCB partitioner, on both per-device step formulations
+    (face-major and ck-direct)."""
     mesh, table = case()
     state0 = initial_state(mesh)
     ref_state, _ = solve_steady(
@@ -176,6 +185,7 @@ def test_sharded_matches_single_device(n_devices, method):
         n_devices=n_devices,
         verbose=False,
         partition_method=method,
+        use_ck=ck,
     )
     np.testing.assert_allclose(
         np.asarray(sh_state.vel),
