@@ -24,11 +24,47 @@ def cmd_run(args):
     from orc_tpu.io.data import write_data, write_gradients
     from orc_tpu.utils.config import build_problem, load_case
 
+    import os
+
+    if not os.path.exists(args.case):
+        print(f"error: case file not found: {args.case}", file=sys.stderr)
+        return 2
     case = load_case(args.case)
     if args.iterations:
         case.iterations = args.iterations
     if args.devices:
         case.devices = args.devices
+    if case.mesh_path and not os.path.exists(case.mesh_path):
+        print(
+            f"error: mesh file not found: {case.mesh_path}", file=sys.stderr
+        )
+        return 2
+    # Validate/create output locations BEFORE the solve so a typo'd path
+    # fails in milliseconds, not after minutes of iterations.
+    for out in (
+        case.data_file,
+        case.gradients_file,
+        case.checkpoint_file,
+        args.vtk or case.vtk_file,
+        args.history,
+    ):
+        if not out:
+            continue
+        parent = os.path.dirname(os.path.abspath(out))
+        try:
+            os.makedirs(parent, exist_ok=True)
+        except OSError as e:
+            print(
+                f"error: cannot create output directory {parent}: {e}",
+                file=sys.stderr,
+            )
+            return 2
+        if not os.access(parent, os.W_OK):
+            print(
+                f"error: output directory not writable: {parent}",
+                file=sys.stderr,
+            )
+            return 2
     mesh, table = build_problem(case)
     print(
         f"mesh: {mesh.n_cells} cells / {mesh.n_faces} faces "

@@ -1,9 +1,11 @@
 """Large-mesh single-chip benchmark: lid-driven cavity.
 
-Measures SIMPLE iterations/sec at ~1M cells (f32) on the current
+Measures SIMPLE iterations/sec at 1M+ cells (f32) on the current
 backend — the single-chip end of BASELINE.md's scale-out story.
 
-Usage: python scripts/bench_cavity.py [n] [dtype]
+Usage: python scripts/bench_cavity.py [n] [dtype] [nz]
+(nz > 1 builds an n*n*nz 3D cavity; above the ck memory ceiling the
+face-major step is used automatically.)
 """
 
 import sys
@@ -26,8 +28,13 @@ def main():
         if (len(sys.argv) > 2 and sys.argv[2] == "f64")
         else jnp.float32
     )
-    print(f"backend: {jax.devices()}, n={n} ({n*n} cells), {jnp.dtype(dtype).name}",
-          file=sys.stderr)
+    nz = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    n_cells = n * n * nz
+    print(
+        f"backend: {jax.devices()}, {n}x{n}x{nz} ({n_cells} cells), "
+        f"{jnp.dtype(dtype).name}",
+        file=sys.stderr,
+    )
 
     from orc_tpu.models.cavity import cavity_case
     from orc_tpu.ops.assembly import diffusion_system
@@ -46,7 +53,7 @@ def main():
     )
 
     t0 = time.perf_counter()
-    mesh, table = cavity_case(n=n, lid_velocity=1.0, dtype=dtype)
+    mesh, table = cavity_case(n=n, nz=nz, lid_velocity=1.0, dtype=dtype)
     print(f"mesh build: {time.perf_counter()-t0:.1f}s "
           f"(structured: {mesh.neighbor_offsets})", file=sys.stderr)
     rho, mu = 1.0, 1.0 / 1000.0  # Re = 1000
@@ -66,33 +73,43 @@ def main():
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     fbc = face_bc(mesh, zc, zs, zv)
     diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
-    t0 = time.perf_counter()
-    ck = build_ck_geometry(mesh, len(table.zone_ids))
-    ck_diff = ck_diffusion(mesh, ck, ck_bc(ck, zc, zs, zv), jnp.asarray(mu, mesh.dtype))
-    print(f"ck geometry: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    from orc_tpu.solver.simple import CK_AUTO_MAX_CELLS
+
+    ck = ck_diff = None
+    if n_cells <= CK_AUTO_MAX_CELLS:
+        t0 = time.perf_counter()
+        ck = build_ck_geometry(mesh, len(table.zone_ids))
+        ck_diff = ck_diffusion(
+            mesh, ck, ck_bc(ck, zc, zs, zv), jnp.asarray(mu, mesh.dtype)
+        )
+        print(f"ck geometry: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    else:
+        print("above ck ceiling -> face-major step", file=sys.stderr)
 
     n_iters = 50
     run = _make_chunk_runner(mesh, settings, diff, n_iters, {}, ck=ck, ck_diff=ck_diff)
     state = initial_state(mesh)
     t0 = time.perf_counter()
     state, _ = run(state, zc, zs, zv, rho, mu)
-    jax.block_until_ready(state)
+    _ = np.asarray(state.p)  # host copy = hard barrier (tunnel-safe)
     print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    # Median of several dispatches (the first post-warmup dispatch can
-    # report a bogus near-zero time through the tunnel).
+    # Median of several dispatches, each closed by a device-to-host
+    # copy (block_until_ready can misreport through the axon tunnel).
     times = []
     for _ in range(4):
         t0 = time.perf_counter()
         state, m = run(state, zc, zs, zv, rho, mu)
-        jax.block_until_ready(state)
+        _ = np.asarray(state.p)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
+    print("dispatch times: " + ", ".join(f"{t:.3f}s" for t in times),
+          file=sys.stderr)
     u = np.asarray(state.vel[:, 0])
     assert np.isfinite(u).all()
     assert np.abs(u).max() < 2.0, "cavity fields not physical"
     print(
         f"{n_iters} iterations in {dt:.2f}s -> {n_iters/dt:.2f} iters/sec "
-        f"({1e3*dt/n_iters:.2f} ms/iter) at {n*n} cells; "
+        f"({1e3*dt/n_iters:.2f} ms/iter) at {n_cells} cells; "
         f"u range [{u.min():.3f}, {u.max():.3f}]"
     )
 
