@@ -83,11 +83,15 @@ def main():
     # reference's multigrid claim, lib.rs:33, does not transfer: a
     # V-cycle with 50-iteration smoothers costs ~12x here).
     solver_name = os.environ.get("BENCH_SOLVER", "bicgstab")
+    mg_smooth = os.environ.get("BENCH_MG_SMOOTH")  # smoother iters/level
     settings = NumericalSettings(
         matrix_solver=MatrixSolverSettings(
             solver_type=SolutionMethod(solver_name),
             iterations=50,
             preconditioner=PreconditionMethod.JACOBI,
+            multigrid_smoother_iterations=(
+                int(mg_smooth) if mg_smooth else None
+            ),
         ),
     )
     rho, mu = 1000.0, 0.001
@@ -111,8 +115,15 @@ def main():
 
         ck = build_ck_geometry(mesh, len(table.zone_ids))
         ck_diff = ck_diffusion(mesh, ck, ck_bc(ck, zc, zs, zv), jnp.asarray(mu, mesh.dtype))
+    extras = {}
+    if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
+        from orc_tpu.solver.amg import build_hierarchy
+
+        extras = dict(
+            mg_hierarchy=build_hierarchy(mesh, diff, settings.matrix_solver)
+        )
     run = _make_chunk_runner(
-        mesh, settings, diff, n_iters, {}, ck=ck, ck_diff=ck_diff
+        mesh, settings, diff, n_iters, extras, ck=ck, ck_diff=ck_diff
     )
     import numpy as np
 

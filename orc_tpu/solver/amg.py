@@ -200,7 +200,8 @@ def galerkin_values(A: EllMatrix, level: MgLevel):
     )
 
 
-def _smooth(A, b, x0, settings: MatrixSolverSettings, axis_sum):
+def _smooth(A, b, x0, settings: MatrixSolverSettings, axis_sum,
+            iterations=None):
     """Per-level smoother: Jacobi-preconditioned BiCGSTAB (the
     reference's MULTIGRID_SMOOTHER, linear_algebra.rs:9)."""
     Ap, inv_d = A.jacobi_preconditioned()
@@ -208,7 +209,9 @@ def _smooth(A, b, x0, settings: MatrixSolverSettings, axis_sum):
         Ap,
         b * inv_d,
         x0,
-        settings.iterations,
+        iterations
+        if iterations is not None
+        else (settings.multigrid_smoother_iterations or settings.iterations),
         axis_sum,
         convergence_threshold=settings.relative_convergence_threshold,
     )
@@ -242,8 +245,14 @@ def _mg_correction(A_f, r, level_idx, settings, hierarchy, axis_sum):
     level = hierarchy[level_idx]
     r_c = jax.ops.segment_sum(r, level.agg, num_segments=level.n_coarse)
     A_c = galerkin_values(A_f, level)
-    e_c, _ = _smooth(A_c, r_c, jnp.zeros_like(r_c), settings, axis_sum)
-    if level_idx + 1 < len(hierarchy):
+    # Coarsest level: solve accurately (it's tiny); intermediate levels
+    # take smoother sweeps only.
+    coarsest = level_idx + 1 == len(hierarchy)
+    e_c, _ = _smooth(
+        A_c, r_c, jnp.zeros_like(r_c), settings, axis_sum,
+        iterations=settings.iterations if coarsest else None,
+    )
+    if not coarsest:
         e_c = e_c + _mg_correction(
             A_c, r_c, level_idx + 1, settings, hierarchy, axis_sum
         )

@@ -132,6 +132,11 @@ def parse_case(text: str) -> Case:
             "preconditioner",
         ),
         multigrid_levels=int(sol.get("multigrid_levels", 3)),
+        multigrid_smoother_iterations=(
+            int(sol["smoother_iterations"])
+            if "smoother_iterations" in sol
+            else None
+        ),
         multigrid_restriction=_enum_of(
             {m.value: m for m in RestrictionMethod},
             sol.get("multigrid_restriction", "strongest"),

@@ -156,6 +156,13 @@ class MatrixSolverSettings:
     multigrid_levels: int = 3
     multigrid_restriction: RestrictionMethod = RestrictionMethod.STRONGEST
     multigrid_coarsest_size: int = 16
+    # Smoother iterations per level. None = `iterations` (the
+    # reference's behavior — its smoother runs the full count at every
+    # level, linear_algebra.rs:87-127, which makes a V-cycle ~5x the
+    # cost of one plain smoother solve). A small count (3-8) with an
+    # accurate coarsest-level solve is the standard, much cheaper
+    # configuration.
+    multigrid_smoother_iterations: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -3,7 +3,7 @@
 Measures SIMPLE iterations/sec at 1M+ cells (f32) on the current
 backend — the single-chip end of BASELINE.md's scale-out story.
 
-Usage: python scripts/bench_cavity.py [n] [dtype] [nz]
+Usage: python scripts/bench_cavity.py [n] [dtype] [nz] [Re]
 (nz > 1 builds an n*n*nz 3D cavity; above the ck memory ceiling the
 face-major step is used automatically.)
 """
@@ -29,6 +29,7 @@ def main():
         else jnp.float32
     )
     nz = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    reynolds = float(sys.argv[4]) if len(sys.argv) > 4 else 1000.0
     n_cells = n * n * nz
     print(
         f"backend: {jax.devices()}, {n}x{n}x{nz} ({n_cells} cells), "
@@ -56,7 +57,7 @@ def main():
     mesh, table = cavity_case(n=n, nz=nz, lid_velocity=1.0, dtype=dtype)
     print(f"mesh build: {time.perf_counter()-t0:.1f}s "
           f"(structured: {mesh.neighbor_offsets})", file=sys.stderr)
-    rho, mu = 1.0, 1.0 / 1000.0  # Re = 1000
+    rho, mu = 1.0, 1.0 / reynolds
     settings = NumericalSettings(
         momentum=MomentumScheme.UD,
         pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
@@ -66,7 +67,9 @@ def main():
             iterations=50,
             preconditioner=PreconditionMethod.JACOBI,
         ),
-        pressure_relaxation=0.1,
+        # 3D needs a tighter pressure relaxation than 2D (0.1 diverges
+        # from ~24^3 up; 0.02 converges monotonically to 48^3+).
+        pressure_relaxation=0.1 if nz == 1 else 0.02,
         momentum_relaxation=0.7,
         relaxation_mode=RelaxationMode.IMPLICIT,
     )

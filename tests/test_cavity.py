@@ -38,3 +38,54 @@ def test_cavity_re100_ghia_landmarks():
     # Enclosed flow: net mass flux through any horizontal cut is ~0 —
     # proxy: mean v ~ 0.
     assert abs(np.asarray(r["state"].vel)[:, 1].mean()) < 5e-3
+
+
+def test_cavity_3d_stability():
+    """3D cavities need tighter pressure relaxation than 2D: 0.1
+    diverges from ~24^3 up, 0.02 converges monotonically (measured
+    2026-08-16; scripts/bench_cavity.py bakes the same rule in). Pin
+    the working configuration at 20^3."""
+    import jax.numpy as jnp
+
+    from orc_tpu.models.cavity import cavity_case
+    from orc_tpu.solver.simple import initial_state, solve_steady
+    from orc_tpu.utils.settings import (
+        MatrixSolverSettings,
+        MomentumScheme,
+        NumericalSettings,
+        PreconditionMethod,
+        PressureInterpolation,
+        RelaxationMode,
+        SolutionMethod,
+        VelocityInterpolation,
+    )
+
+    settings = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=50,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+        pressure_relaxation=0.02,
+        momentum_relaxation=0.7,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+    )
+    mesh, table = cavity_case(n=20, nz=20)
+    state = initial_state(mesh)
+    pcorrs = []
+    for _ in range(3):
+        state, hist = solve_steady(
+            mesh, table, settings, 1.0, 1.0 / 100.0, state=state,
+            iterations=100, reporting_interval=100, verbose=False,
+        )
+        pcorrs.append(float(np.asarray(hist[-1].p_corr_norm)[-1]))
+    u = np.asarray(state.vel[:, 0])
+    assert np.isfinite(u).all()
+    # Bounded by the lid speed (plus small overshoot) and decreasing
+    # corrections — the 0.1-relaxation failure mode is exponential
+    # p_corr growth with u blowing past 2.
+    assert -0.5 < u.min() and u.max() < 1.05, (u.min(), u.max())
+    assert pcorrs[2] < pcorrs[0], pcorrs

@@ -235,3 +235,29 @@ def test_jacobi_detects_divergence():
     )
     x, info = iterative_solve(A, b, jnp.zeros(N), settings)
     assert bool(info.diverged)
+
+
+def test_multigrid_tuned_smoother():
+    """A cheap V-cycle (5 smoother sweeps/level, accurate coarsest
+    solve) must still pass the known-solution test — this is the
+    production configuration; the reference runs the full iteration
+    count at every level."""
+    from orc_tpu.solver.amg import build_hierarchy_from_matrix
+
+    A, b, x_true = reference_test_system()
+    settings = MatrixSolverSettings(
+        solver_type=SolutionMethod.MULTIGRID,
+        iterations=50,
+        relative_convergence_threshold=TOL / N**3,
+        preconditioner=PreconditionMethod.JACOBI,
+        multigrid_smoother_iterations=5,
+    )
+    hierarchy = build_hierarchy_from_matrix(
+        np.asarray(A.diag), np.asarray(A.off), np.asarray(A.neighbors), settings
+    )
+    x, info = iterative_solve(
+        A, b, jnp.zeros(N), settings, mg_hierarchy=hierarchy
+    )
+    r = np.asarray(A.matvec(x) - b)
+    assert np.linalg.norm(r) < TOL, np.linalg.norm(r)
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=5e-2)
