@@ -154,3 +154,24 @@ def test_cli_init_case():
     )
     assert out.returncode == 0
     assert "[numerics.solver]" in out.stdout
+
+
+@pytest.mark.parametrize(
+    "example",
+    sorted(
+        f for f in os.listdir("/root/repo/examples")
+        if f.endswith(".toml")
+    ),
+)
+def test_example_cases_parse_and_build(example):
+    """Every shipped example case file must parse and build its mesh +
+    BC table (catches example rot without running the solves)."""
+    from orc_tpu.utils.config import build_problem, load_case
+
+    case = load_case(os.path.join("/root/repo/examples", example))
+    # Shrink generated meshes so the build is instant.
+    if case.generate:
+        case.generate = dict(case.generate, nx=4, ny=4, nz=min(2, int(case.generate.get("nz", 1))))
+    mesh, table = build_problem(case)
+    assert mesh.n_cells > 0
+    table.validate_supported()
