@@ -212,6 +212,25 @@ def cmd_init_case(args):
     return 0
 
 
+def cmd_plot(args):
+    import os
+
+    from orc_tpu.plotting import plot_2d
+
+    root = args.data
+    if root.endswith(".csv"):
+        root = root[:-4]
+    if not os.path.exists(root + ".csv"):
+        print(f"error: data file not found: {root}.csv", file=sys.stderr)
+        return 2
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    written = plot_2d(root, title=args.title, out_dir=args.out_dir)
+    for f in written:
+        print(f"wrote {f}")
+    return 0
+
+
 def cmd_bench(args):
     import runpy
 
@@ -250,6 +269,21 @@ def main(argv=None):
 
     p_init = sub.add_parser("init-case", help="print a default case file")
     p_init.set_defaults(fn=cmd_init_case)
+
+    p_plot = sub.add_parser(
+        "plot",
+        help="contour/quiver/profile plots from a solution data file "
+        "(the reference plotter's capability surface, headless)",
+    )
+    p_plot.add_argument(
+        "data",
+        help="solution data root or .csv path (as written by `run`; "
+        "<root>_gradients.csv and <root>_analytical.csv are picked up "
+        "when present)",
+    )
+    p_plot.add_argument("--title", default=None)
+    p_plot.add_argument("--out-dir", default=None)
+    p_plot.set_defaults(fn=cmd_plot)
 
     p_bench = sub.add_parser("bench", help="run the benchmark")
     p_bench.set_defaults(fn=cmd_bench)

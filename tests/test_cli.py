@@ -139,6 +139,18 @@ def test_cli_run_end_to_end(tmp_path):
     from orc_tpu.io.vtk import read_vtk_cell_data
 
     assert read_vtk_cell_data(str(vtk))["velocity"].shape == (36, 3)
+    # Plot the solution we just wrote (headless Agg).
+    out3 = subprocess.run(
+        [sys.executable, "-m", "orc_tpu", "plot", str(data)],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    png = tmp_path / "sol_contour_plots.png"
+    assert png.exists() and png.stat().st_size > 10_000
 
 
 def test_cli_init_case():
