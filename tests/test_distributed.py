@@ -236,6 +236,18 @@ def test_graft_entry():
     ge.dryrun_multichip(8)
 
 
+def test_graft_entry_dryrun_subprocess():
+    """The driver calls dryrun_multichip from a process bound to ONE real
+    TPU chip; the subprocess fallback (scrubbed env + virtual CPU mesh)
+    is what makes it pass there. Exercise that path explicitly."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge._dryrun_multichip_subprocess(8)
+
+
 def test_slab_preserves_offsets():
     mesh, table = case(16, 4, 1)
     part = partition_mesh(mesh, 4, method="slab")
