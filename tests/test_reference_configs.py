@@ -95,14 +95,47 @@ def test_3x3_cube_solve(reference_mesh_dir):
     mu, rho = 100.0, 1000.0
     state, _ = solve_steady(
         mesh, table, settings, rho, mu,
-        state=initial_state(mesh), iterations=300, reporting_interval=300,
+        state=initial_state(mesh), iterations=600, reporting_interval=600,
         verbose=False,
     )
     vel = np.asarray(state.vel)
     p = np.asarray(state.p)
     assert np.isfinite(vel).all() and np.isfinite(p).all()
-    # Pressure drop drives flow toward the outlet; direction depends on
-    # the INLET zone's face orientation — assert through-flow exists and
-    # pressure is monotone-ish between the BC values.
-    assert np.abs(vel).max() > 1e-8
-    assert p.min() > -0.2 and p.max() < 1.2
+
+    # Quantitative checks (unit-cube square duct, Stokes regime):
+    # 1. Global mass conservation: net inlet flux == net outlet flux.
+    from orc_tpu.ops.fields import device_bc, face_bc
+    from orc_tpu.ops.interpolation import face_flux
+
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    fbc = face_bc(mesh, zc, zs, zv)
+    fl = np.asarray(
+        face_flux(mesh, fbc, state.vel, VelocityInterpolation.LINEAR_WEIGHTED)
+    )
+    zslot = np.asarray(mesh.face_zone_slot)
+    area = np.asarray(mesh.face_area)
+
+    def zone_flux(name):
+        slot = table.slot_of_zone[table.zone_by_name(name).zone_id]
+        sel = zslot == slot
+        return float((fl[sel] * area[sel]).sum())
+
+    q_in, q_out = zone_flux("INLET"), zone_flux("OUTLET")
+    assert abs(q_in + q_out) < 1e-3 * abs(q_in), (q_in, q_out)
+
+    # 2. Fully developed: per-layer mean streamwise velocity uniform
+    # along x, and pressure monotone from inlet (x=1) to outlet (x=0).
+    cc = np.asarray(mesh.cell_centroid)
+    layers = [np.abs(cc[:, 0] - x) < 0.1 for x in (1 / 6, 0.5, 5 / 6)]
+    u_layer = [vel[m, 0].mean() for m in layers]
+    assert max(u_layer) - min(u_layer) < 1e-3 * abs(np.mean(u_layer)), u_layer
+    p_layer = [p[m].mean() for m in layers]
+    assert p_layer[0] < p_layer[1] < p_layer[2], p_layer
+
+    # 3. Bulk velocity within 50% of the square-duct analytical solution
+    # u_mean = 0.035144 dp a^2 / (mu L) — a coarse-mesh sanity band (3
+    # cells across the duct overshoots by ~38%); cross-flow negligible.
+    u_analytic = 0.035144 * 1.0 / mu
+    u_mean = abs(vel[:, 0].mean())
+    assert abs(u_mean - u_analytic) < 0.5 * u_analytic, (u_mean, u_analytic)
+    assert np.abs(vel[:, 1:]).max() < 0.05 * u_mean
