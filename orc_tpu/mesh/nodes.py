@@ -20,6 +20,8 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+
+from orc_tpu.ops.layout import take
 import numpy as np
 
 from orc_tpu.mesh.tgrid import RawMesh
@@ -89,7 +91,7 @@ def node_face_values(ni: NodeInterp, phi):
     phi: [C] -> [F];  [C,3] -> [F,3].
     """
     if phi.ndim == 1:
-        phi_n = (phi[ni.node_cells] * ni.node_w).sum(axis=1)  # [N]
-        return (phi_n[ni.face_nodes] * ni.face_node_w).sum(axis=1)
-    phi_n = (phi[ni.node_cells] * ni.node_w[..., None]).sum(axis=1)  # [N,3]
-    return (phi_n[ni.face_nodes] * ni.face_node_w[..., None]).sum(axis=1)
+        phi_n = (take(phi, ni.node_cells) * ni.node_w).sum(axis=1)  # [N]
+        return (take(phi_n, ni.face_nodes) * ni.face_node_w).sum(axis=1)
+    phi_n = (take(phi, ni.node_cells) * ni.node_w[..., None]).sum(axis=1)  # [N,3]
+    return (take(phi_n, ni.face_nodes) * ni.face_node_w[..., None]).sum(axis=1)

@@ -25,6 +25,7 @@ from orc_tpu.ops.fields import (
     WALL,
     FaceBC,
 )
+from orc_tpu.ops.layout import take
 from orc_tpu.ops.spmv import EllMatrix
 from orc_tpu.utils.settings import MomentumScheme, NumericalSettings
 
@@ -39,12 +40,13 @@ class DiffusionSystem(NamedTuple):
 
 
 def _gathered(mesh: CompiledMesh, fbc: FaceBC):
-    """Common per-(c,k) gathers."""
+    """Common per-(c,k) gathers. BC code comes from the zone tables via
+    FaceBC.ck (never through the per-face arrays — see FaceBC)."""
     cf = mesh.cell_faces
     m = mesh.cell_face_mask
-    code = fbc.code[cf]
-    area = mesh.face_area[cf]
-    interior = mesh.face_interior[cf] & m
+    code = fbc.ck(mesh)[0]
+    area = take(mesh.face_area, cf)
+    interior = take(mesh.face_interior, cf) & m
     return cf, m, code, area, interior
 
 
@@ -53,14 +55,14 @@ def diffusion_system(mesh: CompiledMesh, fbc: FaceBC, mu) -> DiffusionSystem:
     # Dirichlet-velocity boundaries contribute d = mu A / |x_f - x_c|
     # plus a source d * v_bc; zero-gradient boundaries (pressure BCs,
     # symmetry) contribute nothing (discretization.rs:69-118).
-    d_bnd = mu * area / mesh.face_dist_fo[cf]
-    d_int = mu * area / mesh.face_dist_on[cf]
+    d_bnd = mu * area / take(mesh.face_dist_fo, cf)
+    d_int = mu * area / take(mesh.face_dist_on, cf)
     dirichlet = ((code == WALL) | (code == VELOCITY_INLET)) & m
     d = jnp.where(interior, d_int, jnp.where(dirichlet, d_bnd, 0.0))
     diag = jnp.sum(d, axis=1)
     off = jnp.where(interior, -d, 0.0)
     b = jnp.sum(
-        jnp.where(dirichlet[..., None], d[..., None] * fbc.vector[cf], 0.0),
+        jnp.where(dirichlet[..., None], d[..., None] * fbc.ck(mesh)[2], 0.0),
         axis=1,
     )
     return DiffusionSystem(diag=diag, off=off, b=b)
@@ -89,7 +91,7 @@ def momentum_system(
     """
     cf, m, code, area, interior = _gathered(mesh, fbc)
     sgn = mesh.cell_face_sign
-    F = sgn * flux[cf] * area * rho  # mass flow out of c through slot k
+    F = sgn * take(flux, cf) * area * rho  # mass flow out of c through slot k
     Fv = F[..., None]  # broadcast over components
 
     scheme = settings.momentum
@@ -108,10 +110,10 @@ def momentum_system(
             raise ValueError("CD2 momentum requires grad_vel")
         a_nb = Fv / 2.0 * jnp.ones((1, 1, 3), F.dtype)
         nbr = mesh.cell_neighbors
-        r_cf = mesh.face_centroid[cf] - mesh.cell_centroid[:, None, :]
-        r_df = mesh.face_centroid[cf] - mesh.cell_centroid[nbr]
+        r_cf = take(mesh.face_centroid, cf) - mesh.cell_centroid[:, None, :]
+        r_df = take(mesh.face_centroid, cf) - take(mesh.cell_centroid, nbr)
         g_c = jnp.einsum("cij,ckj->cki", grad_vel, r_cf)
-        g_d = jnp.einsum("ckij,ckj->cki", grad_vel[nbr], r_df)
+        g_d = jnp.einsum("ckij,ckj->cki", take(grad_vel, nbr), r_df)
         delta = 0.5 * (g_c + g_d)  # [C,K,3]
         s_dc = -jnp.sum(
             jnp.where(interior[..., None], Fv * delta, 0.0), axis=1
@@ -122,11 +124,11 @@ def momentum_system(
         psi = settings.tvd_psi
         nbr = mesh.cell_neighbors
         downstream = jnp.where(F > 0, nbr, jnp.arange(mesh.n_cells)[:, None])
-        v_d = vel[downstream]  # [C,K,3]
+        v_d = take(vel, downstream)  # [C,K,3]
         v_c = vel[:, None, :]
         diffv = v_d - v_c
         same = jnp.linalg.norm(diffv, axis=-1) == 0.0  # all-components equal
-        r_pa = mesh.cell_centroid[nbr] - mesh.cell_centroid[:, None, :]
+        r_pa = take(mesh.cell_centroid, nbr) - mesh.cell_centroid[:, None, :]
         gdotr = jnp.einsum("cij,ckj->cki", grad_vel, r_pa)  # [C,K,3]
         # Safe division: components with zero velocity difference fall
         # back to r=1 (psi(1)=1 for consistent limiters -> CD), avoiding
@@ -149,9 +151,9 @@ def momentum_system(
     # a_p accumulates -a_nb + F over real faces; pressure force source
     # s_u -= n_out * p_f * A  (discretization.rs:290-291).
     a_p = jnp.sum(jnp.where(m[..., None], -a_nb + Fv, 0.0), axis=1)  # [C,3]
-    n_out = sgn[..., None] * mesh.face_normal[cf]
+    n_out = sgn[..., None] * take(mesh.face_normal, cf)
     s_u = -jnp.sum(
-        jnp.where(m[..., None], n_out * (p_face[cf] * area)[..., None], 0.0),
+        jnp.where(m[..., None], n_out * (take(p_face, cf) * area)[..., None], 0.0),
         axis=1,
     )
     # Dirichlet-velocity boundary advection source (a_nb - F) * v_bc
@@ -159,7 +161,7 @@ def momentum_system(
     dirichlet = ((code == WALL) | (code == VELOCITY_INLET)) & m & ~interior
     s_u = s_u + jnp.sum(
         jnp.where(
-            dirichlet[..., None], (a_nb - Fv) * fbc.vector[cf], 0.0
+            dirichlet[..., None], (a_nb - Fv) * fbc.ck(mesh)[2], 0.0
         ),
         axis=1,
     )
@@ -235,12 +237,12 @@ def pressure_correction_system(
     """
     cf, m, code, area, interior = _gathered(mesh, fbc)
     sgn = mesh.cell_face_sign
-    b = jnp.sum(jnp.where(m, -sgn * flux[cf] * area * rho, 0.0), axis=1)
+    b = jnp.sum(jnp.where(m, -sgn * take(flux, cf) * area * rho, 0.0), axis=1)
 
-    n = mesh.face_normal[cf]
+    n = take(mesh.face_normal, cf)
     a_c = _normal_momentum_coeff(mom_diag[:, None, :], n)  # [C,K]
     a_face = 0.5 * jnp.linalg.norm(
-        (mom_diag[:, None, :] + mom_diag[mesh.cell_neighbors]) * n, axis=-1
+        (mom_diag[:, None, :] + take(mom_diag, mesh.cell_neighbors)) * n, axis=-1
     )
     a_nb = rho * area**2 / a_face
     a_bnd = rho * area**2 / a_c / 2.0
@@ -277,14 +279,14 @@ def apply_pressure_correction(
     sgn = mesh.cell_face_sign
     p_pr_nb = jnp.where(
         interior,
-        p_prime[mesh.cell_neighbors],
+        take(p_prime, mesh.cell_neighbors),
         jnp.where(
             ((code == PRESSURE_INLET) | (code == PRESSURE_OUTLET)),
             0.0,
             p_prime[:, None],  # wall / symmetry / velocity inlet
         ),
     )
-    n_out = sgn[..., None] * mesh.face_normal[cf]
+    n_out = sgn[..., None] * take(mesh.face_normal, cf)
     scaled_n = n_out / mom_diag[:, None, :]
     dpp = (p_prime[:, None] - p_pr_nb) * area
     corr = jnp.sum(

@@ -45,6 +45,7 @@ from orc_tpu.ops.fields import (
     VELOCITY_INLET,
     WALL,
 )
+from orc_tpu.ops.layout import take
 from orc_tpu.ops.spmv import EllMatrix
 from orc_tpu.utils.settings import (
     GradientReconstruction,
@@ -73,53 +74,54 @@ class CKGeometry:
     n_zones: int = dataclasses.field(metadata=dict(static=True))
 
 
+@jax.jit
+def _expand_geometry(mesh: CompiledMesh):
+    """Traced body of build_ck_geometry (module-level so memory probes
+    can lower it without executing)."""
+    cf = mesh.cell_faces
+    m = mesh.cell_face_mask
+    sgn = mesh.cell_face_sign
+    area = take(mesh.face_area, cf) * m
+    n_out = sgn[..., None] * take(mesh.face_normal, cf)
+    fc = take(mesh.face_centroid, cf)
+    cc = mesh.cell_centroid
+    r_cf = (fc - cc[:, None, :]) * m[..., None]
+    nbr = mesh.cell_neighbors
+    interior = take(mesh.face_interior, cf) & m
+    r_on = jnp.where(
+        interior[..., None], take(cc, nbr) - cc[:, None, :], r_cf
+    )
+    dist_on = jnp.sqrt(jnp.sum(r_on * r_on, axis=-1))
+    dist_fo = jnp.sqrt(jnp.sum(r_cf * r_cf, axis=-1))
+    d_nf = fc - take(cc, nbr)
+    dist_nf = jnp.sqrt(jnp.sum(d_nf * d_nf, axis=-1))
+    w = jnp.where(
+        interior,
+        dist_fo / jnp.maximum(dist_fo + dist_nf, 1e-300),
+        0.0,
+    )
+    return (
+        area,
+        n_out,
+        w,
+        r_cf,
+        r_on,
+        jnp.where(m, dist_on, 1.0),
+        jnp.where(m, dist_fo, 1.0),
+        interior,
+        m,
+        cf,
+    )
+
 def build_ck_geometry(mesh: CompiledMesh, n_zones: int) -> CKGeometry:
     """One-time expansion of face geometry to [C,K].
 
-    Runs ON DEVICE from the (already-resident) compact mesh arrays:
-    gathers are slow on TPU but these happen exactly once — doing the
-    expansion on host and uploading ~10 [C,K(,3)] arrays over the
-    tunnel cost minutes at 1M cells."""
-
-    @jax.jit
-    def build(mesh):
-        cf = mesh.cell_faces
-        m = mesh.cell_face_mask
-        sgn = mesh.cell_face_sign
-        area = mesh.face_area[cf] * m
-        n_out = sgn[..., None] * mesh.face_normal[cf]
-        fc = mesh.face_centroid[cf]
-        cc = mesh.cell_centroid
-        r_cf = (fc - cc[:, None, :]) * m[..., None]
-        nbr = mesh.cell_neighbors
-        interior = mesh.face_interior[cf] & m
-        r_on = jnp.where(
-            interior[..., None], cc[nbr] - cc[:, None, :], r_cf
-        )
-        dist_on = jnp.sqrt(jnp.sum(r_on * r_on, axis=-1))
-        dist_fo = jnp.sqrt(jnp.sum(r_cf * r_cf, axis=-1))
-        d_nf = fc - cc[nbr]
-        dist_nf = jnp.sqrt(jnp.sum(d_nf * d_nf, axis=-1))
-        w = jnp.where(
-            interior,
-            dist_fo / jnp.maximum(dist_fo + dist_nf, 1e-300),
-            0.0,
-        )
-        return (
-            area,
-            n_out,
-            w,
-            r_cf,
-            r_on,
-            jnp.where(m, dist_on, 1.0),
-            jnp.where(m, dist_fo, 1.0),
-            interior,
-            m,
-            cf,
-        )
-
-    area, n_out, w, r_cf, r_on, dist_on, dist_fo, interior, m, cf = build(
-        mesh
+    Runs ON DEVICE from the (already-resident) compact mesh arrays via
+    layout-safe gathers (ops/layout.py): these happen exactly once —
+    doing the expansion on host and uploading ~10 [C,K(,3)] arrays over
+    the tunnel cost minutes at 1M cells."""
+    area, n_out, w, r_cf, r_on, dist_on, dist_fo, interior, m, cf = (
+        _expand_geometry(mesh)
     )
     return CKGeometry(
         area=area,
@@ -131,7 +133,7 @@ def build_ck_geometry(mesh: CompiledMesh, n_zones: int) -> CKGeometry:
         dist_fo=dist_fo,
         interior=interior,
         mask=m,
-        zone_slot=mesh.face_zone_slot[mesh.cell_faces].astype(jnp.int32),
+        zone_slot=take(mesh.face_zone_slot, mesh.cell_faces).astype(jnp.int32),
         n_zones=n_zones,
     )
 
@@ -147,11 +149,11 @@ def nbr_values(mesh: CompiledMesh, x):
         out = jnp.stack(cols, axis=1)  # [C,K,...]
         # Rows whose slot is not a real interior neighbor must fall back
         # to the cell's own value (rolled values there are arbitrary).
-        interior = mesh.face_interior[mesh.cell_faces] & mesh.cell_face_mask
+        interior = take(mesh.face_interior, mesh.cell_faces) & mesh.cell_face_mask
         own = jnp.expand_dims(x, 1)
         cond = interior.reshape(interior.shape + (1,) * (x.ndim - 1))
         return jnp.where(cond, out, own)
-    return x[mesh.cell_neighbors]
+    return take(x, mesh.cell_neighbors)
 
 
 def zone_sel(zone_vals, zone_slot, n_zones: int):

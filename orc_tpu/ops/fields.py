@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from orc_tpu.mesh.compile import CompiledMesh
 from orc_tpu.mesh.zones import BoundaryTable, FaceCondition
+from orc_tpu.ops.layout import take
 
 # Integer codes used in on-device selects.
 INTERIOR = int(FaceCondition.INTERIOR)
@@ -29,17 +30,45 @@ VELOCITY_INLET = int(FaceCondition.VELOCITY_INLET)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FaceBC:
-    """Per-face boundary-condition data (gathered from the zone table)."""
+    """Per-face boundary-condition data (gathered from the zone table).
+
+    The tiny per-zone tables are kept alongside the per-face arrays:
+    (c,k)-shaped consumers must gather BC data zone-table -> [C,K]
+    directly (`ck()`), NOT through the per-face arrays — a gather of an
+    in-graph-produced [F,3] array materializes lane-padded buffers
+    (measured 8.3 GiB of temps at 4.2M cells vs 0.6 GiB through the
+    zone tables, scripts/probe_bisect.py)."""
 
     code: jax.Array  # [F] i32 FaceCondition code
     scalar: jax.Array  # [F] zone scalar (boundary pressure, ...)
     vector: jax.Array  # [F,3] zone vector (wall/inlet velocity, ...)
+    zcode: jax.Array  # [Z] i32 zone table
+    zscalar: jax.Array  # [Z]
+    zvector: jax.Array  # [Z,3]
 
     def is_(self, *codes: int) -> jax.Array:
         m = self.code == codes[0]
         for c in codes[1:]:
             m = m | (self.code == c)
         return m
+
+    def ck(self, mesh: "CompiledMesh"):
+        """(code, scalar, vector) per (cell, face-slot): [C,K], [C,K],
+        [C,K,3], selected from the zone tables with a static Z-way
+        `where` chain over the face zone slot (gathers indexed by
+        in-graph [C,K] arrays materialize padded buffers — measured
+        14 GiB vs 0.6 GiB at 4.2M cells)."""
+        zs = take(mesh.face_zone_slot, mesh.cell_faces)
+        Z = self.zcode.shape[0]
+        code = jnp.full(zs.shape, self.zcode[0], self.zcode.dtype)
+        scalar = jnp.full(zs.shape, self.zscalar[0], self.zscalar.dtype)
+        vector = jnp.broadcast_to(self.zvector[0], zs.shape + (3,))
+        for z in range(1, Z):
+            sel = zs == z
+            code = jnp.where(sel, self.zcode[z], code)
+            scalar = jnp.where(sel, self.zscalar[z], scalar)
+            vector = jnp.where(sel[..., None], self.zvector[z], vector)
+        return code, scalar, vector
 
 
 def device_bc(table: BoundaryTable, dtype=jnp.float64):
@@ -54,6 +83,20 @@ def device_bc(table: BoundaryTable, dtype=jnp.float64):
 def face_bc(mesh: CompiledMesh, zone_codes, zone_scalar, zone_vector) -> FaceBC:
     """Gather zone BC data onto faces (inside jit)."""
     s = mesh.face_zone_slot
+    # Zone VECTOR values are selected with a static Z-way where chain:
+    # a gather from the tiny [Z,3] table produces an in-graph [F,3]
+    # buffer that XLA materializes lane-padded 3->128 when reduced over
+    # components (measured 15.5 GiB of temps at 4.2M cells for a single
+    # einsum("fi,fi->f", vector, normal); the where chain costs ~0).
+    Z = zone_codes.shape[0]
+    vector = jnp.broadcast_to(zone_vector[0], s.shape + (3,))
+    for z in range(1, Z):
+        vector = jnp.where((s == z)[:, None], zone_vector[z], vector)
     return FaceBC(
-        code=zone_codes[s], scalar=zone_scalar[s], vector=zone_vector[s]
+        code=zone_codes[s],
+        scalar=zone_scalar[s],
+        vector=vector,
+        zcode=zone_codes,
+        zscalar=zone_scalar,
+        zvector=zone_vector,
     )

@@ -24,6 +24,7 @@ from orc_tpu.ops.fields import (
     FaceBC,
 )
 from orc_tpu.ops.interpolation import face_pressure, face_velocity
+from orc_tpu.ops.layout import take
 from orc_tpu.utils.settings import (
     GradientReconstruction,
     PressureInterpolation,
@@ -40,11 +41,11 @@ def _green_gauss(mesh: CompiledMesh, face_vals):
     cf = mesh.cell_faces
     w = (
         mesh.cell_face_sign
-        * mesh.face_area[cf]
+        * take(mesh.face_area, cf)
         / mesh.cell_volume[:, None]
     )  # [C,K] signed area / volume (0 at padded slots)
-    n = mesh.face_normal[cf]  # [C,K,3]
-    phi = face_vals[cf]
+    n = take(mesh.face_normal, cf)  # [C,K,3]
+    phi = take(face_vals, cf)
     if phi.ndim == 2:  # scalar field
         return jnp.einsum("ck,cki->ci", w * phi, n)
     # vector field: outer(phi_f, n) summed -> [C,3,3]
@@ -78,10 +79,10 @@ def _ls_rows(mesh: CompiledMesh):
     """Displacement rows for least squares: interior -> neighbor
     centroid delta; boundary -> face centroid delta; padded -> 0."""
     cf = mesh.cell_faces
-    interior = mesh.face_interior[cf] & mesh.cell_face_mask
+    interior = take(mesh.face_interior, cf) & mesh.cell_face_mask
     nbr = mesh.cell_neighbors
-    d_int = mesh.cell_centroid[nbr] - mesh.cell_centroid[:, None, :]
-    d_bnd = mesh.face_centroid[cf] - mesh.cell_centroid[:, None, :]
+    d_int = take(mesh.cell_centroid, nbr) - mesh.cell_centroid[:, None, :]
+    d_bnd = take(mesh.face_centroid, cf) - mesh.cell_centroid[:, None, :]
     d = jnp.where(interior[..., None], d_int, d_bnd)
     return jnp.where(mesh.cell_face_mask[..., None], d, 0.0), interior
 
@@ -131,10 +132,10 @@ def pressure_gradient(
         p_own = p[:, None]
         # boundary face value: zone pressure at pressure BCs, cell value
         # otherwise (zero delta).
-        code = fbc.code[cf]
+        code, scalar_ck, _ = fbc.ck(mesh)
         is_pbc = (code == PRESSURE_INLET) | (code == PRESSURE_OUTLET)
-        pf_bnd = jnp.where(is_pbc, fbc.scalar[cf], p_own)
-        b = jnp.where(interior, p[mesh.cell_neighbors] - p_own, pf_bnd - p_own)
+        pf_bnd = jnp.where(is_pbc, scalar_ck, p_own)
+        b = jnp.where(interior, take(p, mesh.cell_neighbors) - p_own, pf_bnd - p_own)
         b = jnp.where(mesh.cell_face_mask, b, 0.0)
         return _least_squares(mesh, d, b)
     raise NotImplementedError(f"gradient scheme {scheme}")
@@ -162,8 +163,8 @@ def velocity_gradient(
         vf = face_velocity(mesh, fbc, vel, VelocityInterpolation.LINEAR)
         b = jnp.where(
             interior[..., None],
-            vel[mesh.cell_neighbors] - v_own,
-            vf[cf] - v_own,
+            take(vel, mesh.cell_neighbors) - v_own,
+            take(vf, cf) - v_own,
         )
         b = jnp.where(mesh.cell_face_mask[..., None], b, 0.0)
         return _least_squares(mesh, d, b)

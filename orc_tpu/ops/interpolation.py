@@ -28,6 +28,7 @@ from orc_tpu.ops.fields import (
     WALL,
     FaceBC,
 )
+from orc_tpu.ops.layout import take
 from orc_tpu.utils.settings import PressureInterpolation, VelocityInterpolation
 
 
@@ -47,8 +48,8 @@ def face_velocity(
     scheme: VelocityInterpolation = VelocityInterpolation.LINEAR,
 ):
     """Velocity at each face [F,3] (reference: solver.rs:952-1003)."""
-    own = vel[mesh.face_owner]
-    nbr = vel[mesh.face_neighbor]
+    own = take(vel, mesh.face_owner)
+    nbr = take(vel, mesh.face_neighbor)
     if scheme == VelocityInterpolation.LINEAR_WEIGHTED:
         interior = _interior_scalar(mesh, own, nbr, True)
     else:
@@ -83,10 +84,10 @@ def face_pressure(
     elif scheme == PressureInterpolation.SECOND_ORDER:
         if grad_p is None:
             raise ValueError("SECOND_ORDER face pressure requires grad_p")
-        r0 = mesh.face_centroid - mesh.cell_centroid[mesh.face_owner]
-        r1 = mesh.face_centroid - mesh.cell_centroid[mesh.face_neighbor]
-        g0 = jnp.einsum("fi,fi->f", grad_p[mesh.face_owner], r0)
-        g1 = jnp.einsum("fi,fi->f", grad_p[mesh.face_neighbor], r1)
+        r0 = mesh.face_centroid - take(mesh.cell_centroid, mesh.face_owner)
+        r1 = mesh.face_centroid - take(mesh.cell_centroid, mesh.face_neighbor)
+        g0 = jnp.einsum("fi,fi->f", take(grad_p, mesh.face_owner), r0)
+        g1 = jnp.einsum("fi,fi->f", take(grad_p, mesh.face_neighbor), r1)
         interior = 0.5 * ((own + nbr) + (g0 + g1))
     else:
         raise NotImplementedError(f"pressure interpolation {scheme}")
@@ -121,8 +122,8 @@ def face_flux(
     n = mesh.face_normal
     own_i = mesh.face_owner
     nbr_i = mesh.face_neighbor
-    v_own = vel[own_i]
-    v_nbr = vel[nbr_i]
+    v_own = take(vel, own_i)
+    v_nbr = take(vel, nbr_i)
 
     if scheme in (
         VelocityInterpolation.LINEAR,
@@ -135,15 +136,15 @@ def face_flux(
     elif scheme == VelocityInterpolation.RHIE_CHOW:
         if p is None or grad_p is None or mom_diag is None:
             raise ValueError("Rhie-Chow flux requires p, grad_p, mom_diag")
-        a_i = jnp.linalg.norm(mom_diag[own_i] * n, axis=1)
-        a_j = jnp.linalg.norm(mom_diag[nbr_i] * n, axis=1)
+        a_i = jnp.linalg.norm(take(mom_diag, own_i) * n, axis=1)
+        a_j = jnp.linalg.norm(take(mom_diag, nbr_i) * n, axis=1)
         voa_i = mesh.cell_volume[own_i] / a_i
         voa_j = mesh.cell_volume[nbr_i] / a_j
         r_ij = mesh.face_r_on  # owner -> neighbor centroid vector
         dist = mesh.face_dist_on
         term1 = jnp.einsum("fi,fi->f", v_own + v_nbr, n)
         term2 = (voa_i + voa_j) * (p[own_i] - p[nbr_i]) / dist
-        gsum = voa_i[:, None] * grad_p[own_i] + voa_j[:, None] * grad_p[nbr_i]
+        gsum = voa_i[:, None] * take(grad_p, own_i) + voa_j[:, None] * take(grad_p, nbr_i)
         term3 = jnp.einsum("fi,fi->f", gsum, r_ij) / dist
         interior = 0.5 * (term1 + term2 - term3)
     else:

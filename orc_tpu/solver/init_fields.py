@@ -32,6 +32,7 @@ import numpy as np
 
 from orc_tpu.mesh.compile import CompiledMesh
 from orc_tpu.mesh.zones import BoundaryTable, FaceCondition
+from orc_tpu.ops.layout import take
 from orc_tpu.ops.fields import (
     PRESSURE_INLET,
     PRESSURE_OUTLET,
@@ -119,11 +120,11 @@ def _laplace_coeffs(mesh: CompiledMesh):
     """Per-(c,k) interior Laplacian coefficient and boundary-face
     variant (reference: solver.rs:456-472)."""
     cf = mesh.cell_faces
-    n_out = mesh.cell_face_sign[..., None] * mesh.face_normal[cf]
-    av = mesh.face_area[cf] / mesh.cell_volume[:, None]
+    n_out = mesh.cell_face_sign[..., None] * take(mesh.face_normal, cf)
+    av = take(mesh.face_area, cf) / mesh.cell_volume[:, None]
     x_c = mesh.cell_centroid[:, None, :]
-    d_int = x_c - mesh.cell_centroid[mesh.cell_neighbors]
-    d_bnd = x_c - mesh.face_centroid[cf]
+    d_int = x_c - take(mesh.cell_centroid, mesh.cell_neighbors)
+    d_bnd = x_c - take(mesh.face_centroid, cf)
     a_int = jnp.einsum("cki,cki->ck", _reciprocal(d_int), n_out) * av
     a_bnd = jnp.einsum("cki,cki->ck", _reciprocal(d_bnd), n_out) * av
     return a_int, a_bnd
@@ -151,13 +152,13 @@ def initialize_pressure_field(mesh: CompiledMesh, table: BoundaryTable):
     zc, zs, zv = device_bc(table, mesh.dtype)
     fbc = face_bc(mesh, zc, zs, zv)
     cf, m = mesh.cell_faces, mesh.cell_face_mask
-    code = fbc.code[cf]
-    interior = mesh.face_interior[cf] & m
+    code = fbc.ck(mesh)[0]
+    interior = take(mesh.face_interior, cf) & m
     a_int, a_bnd = _laplace_coeffs(mesh)
 
     is_pbc = ((code == PRESSURE_INLET) | (code == PRESSURE_OUTLET)) & m
     a = jnp.where(interior, a_int, jnp.where(is_pbc, a_bnd, 0.0))
-    b = jnp.sum(jnp.where(is_pbc, a_bnd * fbc.scalar[cf], 0.0), axis=1)
+    b = jnp.sum(jnp.where(is_pbc, a_bnd * fbc.ck(mesh)[1], 0.0), axis=1)
     A = EllMatrix(
         diag=jnp.sum(a, axis=1),
         off=jnp.where(interior, -a_int, 0.0),
@@ -175,10 +176,10 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
     zc, zs, zv = device_bc(table, mesh.dtype)
     fbc = face_bc(mesh, zc, zs, zv)
     cf, m = mesh.cell_faces, mesh.cell_face_mask
-    code = fbc.code[cf]
-    interior = mesh.face_interior[cf] & m
+    code = fbc.ck(mesh)[0]
+    interior = take(mesh.face_interior, cf) & m
     a_int, a_bnd = _laplace_coeffs(mesh)
-    n_out = mesh.cell_face_sign[..., None] * mesh.face_normal[cf]
+    n_out = mesh.cell_face_sign[..., None] * take(mesh.face_normal, cf)
 
     is_vin = (code == VELOCITY_INLET) & m
     is_pout = (code == PRESSURE_OUTLET) & m
@@ -186,10 +187,10 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
     # Inlet source: known boundary-normal gradient of psi, scaled by
     # A/V like every other term (the reference omits the scaling,
     # solver.rs:551-557, making the system dimensionally inconsistent).
-    av = mesh.face_area[cf] / mesh.cell_volume[:, None]
+    av = take(mesh.face_area, cf) / mesh.cell_volume[:, None]
     src = jnp.where(
         is_vin,
-        -jnp.einsum("cki,cki->ck", fbc.vector[cf], n_out) * av,
+        -jnp.einsum("cki,cki->ck", fbc.ck(mesh)[2], n_out) * av,
         0.0,
     )
     b = jnp.sum(src, axis=1)
@@ -206,10 +207,10 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
     # of runtime zero-column pruning.
     d = jnp.where(
         interior[..., None],
-        mesh.cell_centroid[mesh.cell_neighbors] - mesh.cell_centroid[:, None, :],
+        take(mesh.cell_centroid, mesh.cell_neighbors) - mesh.cell_centroid[:, None, :],
         0.0,
     )
-    dpsi = jnp.where(interior, psi[mesh.cell_neighbors] - psi[:, None], 0.0)
+    dpsi = jnp.where(interior, take(psi, mesh.cell_neighbors) - psi[:, None], 0.0)
     dim = mesh.dim
     dd = d[..., :dim]
     ata = jnp.einsum("cka,ckb->cab", dd, dd)
