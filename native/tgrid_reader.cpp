@@ -33,6 +33,7 @@ struct MeshData {
   std::vector<int64_t> face_cells;   // [F*2], -1 = none
   std::vector<int64_t> face_zone;    // [F]
   std::vector<Zone> zones;
+  std::vector<int64_t> periodic_pairs;  // [P*2] 0-based (face, shadow)
   int64_t n_cells = 0;
 };
 
@@ -230,6 +231,30 @@ MeshData* parse(const char* data, size_t len) {
       continue;
     }
 
+    if (code == 18) {
+      // Periodic shadow-face pairs: body lines "face shadow" in hex,
+      // 1-based (the reference reader skips these, io.rs:176-179).
+      p = le < end ? le + 1 : end;
+      while (p < end) {
+        const char* l2 = line_end(p);
+        const char* s = p;
+        while (s < l2 && (*s == ' ' || *s == '\t')) ++s;
+        if (s < l2 && *s == ')') { p = l2 < end ? l2 + 1 : end; break; }
+        if (s < l2 && *s == '(' && s + 1 >= l2) {
+          p = l2 < end ? l2 + 1 : end;
+          continue;
+        }
+        int64_t a, b;
+        const char* q2 = s;
+        if (parse_hex(q2, l2, &a) && parse_hex(q2, l2, &b)) {
+          m->periodic_pairs.push_back(a - 1);
+          m->periodic_pairs.push_back(b - 1);
+        }
+        p = l2 < end ? l2 + 1 : end;
+      }
+      continue;
+    }
+
     if (code == 13 && h.size() >= 6) {
       int64_t zone = h[1], first = h[2], last = h[3];
       int64_t bc_type = h[4], face_type = h[5];
@@ -379,6 +404,14 @@ void tgrid_face_cells(void* h, int64_t* out) {
 void tgrid_face_zone(void* h, int64_t* out) {
   auto* m = static_cast<MeshData*>(h);
   memcpy(out, m->face_zone.data(), m->face_zone.size() * sizeof(int64_t));
+}
+int64_t tgrid_n_periodic(void* h) {
+  return static_cast<MeshData*>(h)->periodic_pairs.size() / 2;
+}
+void tgrid_periodic_pairs(void* h, int64_t* out) {
+  auto* m = static_cast<MeshData*>(h);
+  memcpy(out, m->periodic_pairs.data(),
+         m->periodic_pairs.size() * sizeof(int64_t));
 }
 int tgrid_n_zones(void* h) {
   return static_cast<int>(static_cast<MeshData*>(h)->zones.size());

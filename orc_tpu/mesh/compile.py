@@ -100,23 +100,40 @@ def compile_mesh(raw: RawMesh, dtype=jnp.float64, nodes: bool = False):
 
     `nodes=True` additionally builds the vertex-interpolation tables
     required by node-based Green-Gauss gradients (mesh/nodes.py).
+
+    Translational-periodic pairs (RawMesh.periodic_pairs, TGRID `(18`
+    sections) are merged here: each (face, shadow) pair becomes ONE
+    interior face connecting the two owner cells, with the periodic
+    translation folded into the face interpolation geometry
+    (face_lw / face_r_on / face_dist_on). The reference parses and
+    discards this data (io.rs:176-179) and has no periodic solver path;
+    here periodic faces ride the ordinary interior path end to end.
     """
     geo = derive_geometry(raw)
     table = BoundaryTable(raw.face_zones)
     zone_slot = np.array(
         [table.slot_of_zone[z] for z in raw.face_zone_id], dtype=np.int64
     )
+    fo = geo.face_owner
+    fn = geo.face_neighbor
+    fa, fnorm, fc = geo.face_area, geo.face_normal, geo.face_centroid
+    face_shift = None
+    if raw.periodic_pairs.size:
+        fo, fn, fa, fnorm, fc, zone_slot, face_shift = _merge_periodic(
+            raw.periodic_pairs, table, fo, fn, fa, fnorm, fc, zone_slot
+        )
     mesh = compile_from_arrays(
         dim=raw.dim,
-        face_owner=geo.face_owner,
-        face_neighbor=geo.face_neighbor,
-        face_area=geo.face_area,
-        face_normal=geo.face_normal,
-        face_centroid=geo.face_centroid,
+        face_owner=fo,
+        face_neighbor=fn,
+        face_area=fa,
+        face_normal=fnorm,
+        face_centroid=fc,
         face_zone_slot=zone_slot,
         cell_centroid=geo.cell_centroid,
         cell_volume=geo.cell_volume,
         dtype=dtype,
+        face_shift=face_shift,
     )
     if nodes:
         from orc_tpu.mesh.nodes import build_node_interp
@@ -124,6 +141,64 @@ def compile_mesh(raw: RawMesh, dtype=jnp.float64, nodes: bool = False):
         ni = build_node_interp(raw, geo.cell_centroid, dtype=mesh.dtype)
         mesh = dataclasses.replace(mesh, nodes=ni)
     return mesh, table
+
+
+def _merge_periodic(
+    pairs, table, owner, neighbor, area, normal, centroid, zone_slot
+):
+    """Fold (periodic, shadow) face pairs into single interior faces.
+
+    Keeps the periodic-side face of each pair with its owner/geometry,
+    points its neighbor at the shadow face's owner cell, and records the
+    translation `shift = x_f(periodic) - x_f(shadow)` so downstream
+    interpolation geometry sees the neighbor cell's periodic *image*
+    (centroid + shift). Shadow faces are dropped; merged faces take the
+    interior zone slot so every BC select treats them as interior.
+    """
+    from orc_tpu.mesh.zones import FaceCondition
+
+    f_idx = np.asarray(pairs[:, 0], dtype=np.int64)
+    s_idx = np.asarray(pairs[:, 1], dtype=np.int64)
+    owner = np.asarray(owner, dtype=np.int64).copy()
+    neighbor = np.asarray(neighbor, dtype=np.int64).copy()
+    zone_slot = np.asarray(zone_slot, dtype=np.int64).copy()
+    if (neighbor[f_idx] >= 0).any() or (neighbor[s_idx] >= 0).any():
+        raise ValueError("periodic pair references a non-boundary face")
+
+    shift = np.zeros_like(centroid)
+    shift[f_idx] = centroid[f_idx] - centroid[s_idx]
+    # Translational periodicity only: within each pair zone the
+    # translation must be a single constant vector.
+    for slot in np.unique(zone_slot[f_idx]):
+        sel = zone_slot[f_idx] == slot
+        sh = shift[f_idx][sel]
+        if np.abs(sh - sh[0]).max() > 1e-9 * max(1.0, np.abs(sh).max()):
+            raise NotImplementedError(
+                "rotationally-periodic zones are not supported (pair "
+                "translations differ within one zone)"
+            )
+    neighbor[f_idx] = owner[s_idx]
+
+    interior_slots = [
+        table.slot_of_zone[zid]
+        for zid, fz in table.zones.items()
+        if fz.zone_type == FaceCondition.INTERIOR
+    ]
+    if not interior_slots:
+        raise ValueError("periodic merge requires an interior face zone")
+    zone_slot[f_idx] = interior_slots[0]
+
+    keep = np.ones(owner.shape[0], dtype=bool)
+    keep[s_idx] = False
+    return (
+        owner[keep],
+        neighbor[keep],
+        np.asarray(area)[keep],
+        np.asarray(normal)[keep],
+        np.asarray(centroid)[keep],
+        zone_slot[keep],
+        shift[keep],
+    )
 
 
 def compile_from_arrays(
@@ -137,6 +212,7 @@ def compile_from_arrays(
     cell_centroid: np.ndarray,
     cell_volume: np.ndarray,
     dtype=jnp.float64,
+    face_shift: np.ndarray | None = None,  # [F,3] periodic translation
 ) -> CompiledMesh:
     """Build a CompiledMesh directly from face/cell arrays.
 
@@ -144,6 +220,13 @@ def compile_from_arrays(
     generators that know their geometry analytically and can skip the
     parse + derive steps entirely (the scalable path for multi-million
     cell benchmark meshes).
+
+    `face_shift` (zeros when None) translates each interior face's
+    neighbor centroid to its periodic image before the interpolation
+    helpers (lw, r_on, dist) are derived — nonzero only on merged
+    periodic faces. The shift is baked into those per-face arrays, so
+    no downstream op needs to know about periodicity as long as it
+    derives neighbor-centroid geometry from `face_r_on` (they all do).
     """
     F = face_owner.shape[0]
     C = cell_volume.shape[0]
@@ -162,18 +245,23 @@ def compile_from_arrays(
     zone_slot = face_zone_slot
 
     # Interpolation helpers (reference: solver.rs:988-991, 1129-1132 use
-    # w = dx0 / (dx0 + dx1) with dx measured centroid->face).
+    # w = dx0 / (dx0 + dx1) with dx measured centroid->face). Periodic
+    # faces see the neighbor's translated image centroid.
+    shift = (
+        np.zeros_like(geo.face_normal)
+        if face_shift is None
+        else np.asarray(face_shift, dtype=np.float64)
+    )
+    nbr_centroid = geo.cell_centroid[neighbor_safe] + shift
     dx0 = np.linalg.norm(
         geo.cell_centroid[owner] - geo.face_centroid, axis=1
     )
-    dx1 = np.linalg.norm(
-        geo.cell_centroid[neighbor_safe] - geo.face_centroid, axis=1
-    )
+    dx1 = np.linalg.norm(nbr_centroid - geo.face_centroid, axis=1)
     lw = np.where(interior, dx0 / np.maximum(dx0 + dx1, 1e-300), 0.0)
 
     r_on = np.where(
         interior[:, None],
-        geo.cell_centroid[neighbor_safe] - geo.cell_centroid[owner],
+        nbr_centroid - geo.cell_centroid[owner],
         geo.face_centroid - geo.cell_centroid[owner],
     )
     dist_on = np.linalg.norm(r_on, axis=1)
@@ -260,25 +348,33 @@ def _structure_ell(cell_faces, mask, sign, nbrs, entry_interior):
     entries permuted, or None if the mesh is irregular. Entry order
     within a row is semantically irrelevant to assembly (all [C,K] ops
     reduce symmetrically over k); only the SpMV shift path cares.
+
+    Periodic wrap faces contribute extra distinct deltas (e.g. -(nx-1)
+    on an x-periodic box); the ELL is *widened* to one column per
+    offset (up to 2K) so the shift path survives — a wrap entry's
+    `jnp.roll` wraps the flat array exactly where the periodic
+    neighbor lives, and every row without that offset carries a zero
+    coefficient there.
     """
     C, K = nbrs.shape
     if C == 0 or not entry_interior.any():
         return None
     delta = nbrs - np.arange(C)[:, None]
     cand = np.unique(delta[entry_interior])
-    if len(cand) > K:
+    if len(cand) > 2 * K:
         return None
+    K_eff = max(K, len(cand))
     rows, cols = np.nonzero(entry_interior)
     tgt = np.searchsorted(cand, delta[rows, cols])
-    key = rows * K + tgt
+    key = rows * K_eff + tgt
     if len(np.unique(key)) != len(key):
         return None  # two same-offset neighbors in one row: irregular
 
-    new_f = np.zeros_like(cell_faces)
-    new_m = np.zeros_like(mask)
-    new_s = np.zeros_like(sign)
-    new_n = np.tile(np.arange(C, dtype=nbrs.dtype)[:, None], (1, K))
-    used = np.zeros((C, K), dtype=bool)
+    new_f = np.zeros((C, K_eff), dtype=cell_faces.dtype)
+    new_m = np.zeros((C, K_eff), dtype=mask.dtype)
+    new_s = np.zeros((C, K_eff), dtype=sign.dtype)
+    new_n = np.tile(np.arange(C, dtype=nbrs.dtype)[:, None], (1, K_eff))
+    used = np.zeros((C, K_eff), dtype=bool)
     new_f[rows, tgt] = cell_faces[rows, cols]
     new_m[rows, tgt] = True
     new_s[rows, tgt] = sign[rows, cols]
@@ -293,7 +389,7 @@ def _structure_ell(cell_faces, mask, sign, nbrs, entry_interior):
         free_rows, free_cols = np.nonzero(~used)
         ord_b = np.arange(len(brows)) - np.searchsorted(brows, brows)
         ord_f = np.arange(len(free_rows)) - np.searchsorted(free_rows, free_rows)
-        slot_lookup = np.full((C, K), -1, dtype=np.int64)
+        slot_lookup = np.full((C, K_eff), -1, dtype=np.int64)
         slot_lookup[free_rows, ord_f] = free_cols
         j = slot_lookup[brows, ord_b]
         assert (j >= 0).all()
@@ -302,5 +398,5 @@ def _structure_ell(cell_faces, mask, sign, nbrs, entry_interior):
         new_s[brows, j] = sign[brows, bcols]
         new_n[brows, j] = nbrs[brows, bcols]
 
-    offsets = tuple(int(d) for d in cand) + (0,) * (K - len(cand))
+    offsets = tuple(int(d) for d in cand) + (0,) * (K_eff - len(cand))
     return offsets, new_f, new_m, new_s, new_n

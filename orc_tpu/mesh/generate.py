@@ -44,16 +44,39 @@ def structured_box_mesh(
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     zone_names: Dict[str, str] | None = None,
     dtype=jnp.float64,
+    periodic: Tuple[str, ...] = (),
 ):
     """Uniform structured hex mesh of nx*ny*nz cells.
 
     Cell (i,j,k) has id ``i + nx*(j + ny*k)`` (x fastest). Returns
     (CompiledMesh, BoundaryTable); boundary zones default to
     Wall/Interior types — set the actual BCs on the table afterwards.
+
+    `periodic` lists axes ("x", "y", "z") to close translationally:
+    the two boundary planes of a periodic axis are replaced by wrap
+    faces — interior faces at the high plane whose neighbor is the
+    cell at the low plane, with the domain-length translation baked
+    into the interpolation geometry (compile_from_arrays face_shift).
+    Wrap faces add one +/- flat-index offset pair per periodic axis,
+    so the mesh keeps its structured `neighbor_offsets` and the whole
+    solve (assembly, SpMV, ck fast path) stays gather-free. The zone
+    table keeps the axis's two zones, retyped PERIODIC/PERIODIC_SHADOW
+    for bookkeeping (no faces reference them — wrap faces are
+    interior).
     """
     names = dict(DEFAULT_ZONE_NAMES)
     if zone_names:
         names.update(zone_names)
+    per_axes = frozenset(
+        {"x": 0, "y": 1, "z": 2}[a] for a in periodic
+    )
+    for axis, n_axis in zip((0, 1, 2), (nx, ny, nz)):
+        if axis in per_axes and n_axis < 2:
+            raise ValueError(
+                f"periodic axis {'xyz'[axis]} needs at least 2 cells "
+                f"(got {n_axis}): a 1-cell wrap face would connect a "
+                f"cell to itself"
+            )
     lx, ly, lz = lengths
     ox, oy, oz = origin
     hx, hy, hz = lx / nx, ly / ny, lz / nz
@@ -74,21 +97,30 @@ def structured_box_mesh(
     vol = np.full(C, hx * hy * hz)
 
     # Zone table: 0 interior, 1..6 boundaries.
-    zones = {
-        1: FaceZone(1, FaceCondition.INTERIOR, names["interior"]),
-        2: FaceZone(2, FaceCondition.WALL, names["x-"]),
-        3: FaceZone(3, FaceCondition.WALL, names["x+"]),
-        4: FaceZone(4, FaceCondition.WALL, names["y-"]),
-        5: FaceZone(5, FaceCondition.WALL, names["y+"]),
-        6: FaceZone(6, FaceCondition.WALL, names["z-"]),
-        7: FaceZone(7, FaceCondition.WALL, names["z+"]),
-    }
+    def zone_type(axis):
+        return (
+            (FaceCondition.PERIODIC, FaceCondition.PERIODIC_SHADOW)
+            if axis in per_axes
+            else (FaceCondition.WALL, FaceCondition.WALL)
+        )
+
+    zones = {1: FaceZone(1, FaceCondition.INTERIOR, names["interior"])}
+    for axis, (lo_key, hi_key) in enumerate(
+        (("x-", "x+"), ("y-", "y+"), ("z-", "z+"))
+    ):
+        lo_t, hi_t = zone_type(axis)
+        zones[2 + 2 * axis] = FaceZone(2 + 2 * axis, lo_t, names[lo_key])
+        zones[3 + 2 * axis] = FaceZone(3 + 2 * axis, hi_t, names[hi_key])
     table = BoundaryTable(zones)
 
-    owners, neighbors, areas, normals, cents, zslots = [], [], [], [], [], []
+    owners, neighbors, areas, normals, cents, zslots, shifts = (
+        [], [], [], [], [], [], []
+    )
 
     def add_direction(axis, n_axis, h_axis, area, lo_zone, hi_zone):
-        """Faces perpendicular to `axis` at planes 0..n_axis."""
+        """Faces perpendicular to `axis` at planes 0..n_axis (periodic
+        axes: planes 1..n_axis, the high plane wrapping to cell 0)."""
+        is_per = axis in per_axes
         ax_counts = [nx, ny, nz]
         ax_counts[axis] = n_axis + 1
         pi, pj, pk = np.meshgrid(
@@ -99,13 +131,17 @@ def structured_box_mesh(
         )
         plane = (pi, pj, pk)[axis].ravel()
         others = [p.ravel() for p in (pi, pj, pk)]
+        if is_per:
+            sel = plane > 0  # drop the low plane (merged into the wrap)
+            plane = plane[sel]
+            others = [o[sel] for o in others]
 
         lo_idx = list(others)
         lo_idx[axis] = plane - 1  # cell below the plane
         hi_idx = list(others)
-        hi_idx[axis] = plane  # cell above the plane
+        hi_idx[axis] = np.where(plane < n_axis, plane, 0)  # wrap at top
         has_lo = plane > 0
-        has_hi = plane < n_axis
+        has_hi = (plane < n_axis) | is_per
         lo_cell = cid(*[np.clip(x, 0, None) for x in lo_idx])
         hi_cell = cid(*hi_idx)
 
@@ -120,11 +156,18 @@ def structured_box_mesh(
         cen = np.zeros((own.shape[0], 3))
         h = [hx, hy, hz]
         o = [ox, oy, oz]
+        L = [lx, ly, lz]
         for a in range(3):
             if a == axis:
                 cen[:, a] = o[a] + plane * h[a]
             else:
                 cen[:, a] = o[a] + (others[a] + 0.5) * h[a]
+
+        # Wrap faces: neighbor is the low-plane cell, whose periodic
+        # image sits one domain length up the axis.
+        shf = np.zeros((own.shape[0], 3))
+        if is_per:
+            shf[plane == n_axis, axis] = L[axis]
 
         zs = np.where(
             has_lo & has_hi,
@@ -141,6 +184,7 @@ def structured_box_mesh(
         normals.append(nrm)
         cents.append(cen)
         zslots.append(zs)
+        shifts.append(shf)
 
     add_direction(0, nx, hx, hy * hz, 2, 3)
     add_direction(1, ny, hy, hx * hz, 4, 5)
@@ -157,6 +201,7 @@ def structured_box_mesh(
         cell_centroid=cc,
         cell_volume=vol,
         dtype=dtype,
+        face_shift=np.concatenate(shifts) if per_axes else None,
     )
     return mesh, table
 
@@ -169,11 +214,19 @@ def write_tgrid(
     lengths: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     zone_names: Dict[str, str] | None = None,
+    periodic: Tuple[str, ...] = (),
 ):
-    """Write a structured box as a TGRID .msh text file."""
+    """Write a structured box as a TGRID .msh text file.
+
+    Periodic axes emit their high-plane faces as a PERIODIC zone (BC
+    code 12), the low plane as PERIODIC_SHADOW (code 8), and an
+    ``(18 ...)`` shadow-pair section mapping each periodic face to its
+    shadow — the grammar the reference parses and discards
+    (io.rs:176-179) and this framework's reader retains."""
     names = dict(DEFAULT_ZONE_NAMES)
     if zone_names:
         names.update(zone_names)
+    per_axes = frozenset({"x": 0, "y": 1, "z": 2}[a] for a in periodic)
     lx, ly, lz = lengths
     ox, oy, oz = origin
     hx, hy, hz = lx / nx, ly / ny, lz / nz
@@ -250,6 +303,10 @@ def write_tgrid(
         "z-": 3,
         "z+": 3,
     }
+    for axis in per_axes:
+        lo_key, hi_key = (("x-", "x+"), ("y-", "y+"), ("z-", "z+"))[axis]
+        bc_code[hi_key] = 12  # PERIODIC
+        bc_code[lo_key] = 8  # PERIODIC_SHADOW
 
     with open(path, "w") as f:
         f.write('(0 "Generated by orc_tpu structured_box_mesh")\n')
@@ -270,11 +327,15 @@ def write_tgrid(
 
         zone_id = 10
         first = 1
+        zone_start: Dict[str, int] = {}
+        zone_num: Dict[str, int] = {}
         for key in ("interior", "x-", "x+", "y-", "y+", "z-", "z+"):
             faces = zone_faces[key]
             if not faces:
                 continue
             last = first + len(faces) - 1
+            zone_start[key] = first
+            zone_num[key] = zone_id
             f.write(f'(0 "Faces of zone {names[key]}")\n')
             f.write(
                 f"(13 ({zone_id:x} {first:x} {last:x} {bc_code[key]:x} 4)(\n"
@@ -287,3 +348,24 @@ def write_tgrid(
             f.write(")\n)\n")
             first = last + 1
             zone_id += 1
+
+        # Periodic shadow-pair sections: one (18 per periodic axis,
+        # pairing the high-plane (PERIODIC) faces with the low-plane
+        # (PERIODIC_SHADOW) faces in identical transverse order.
+        for axis in sorted(per_axes):
+            lo_key, hi_key = (("x-", "x+"), ("y-", "y+"), ("z-", "z+"))[
+                axis
+            ]
+            n_pairs = len(zone_faces[hi_key])
+            assert n_pairs == len(zone_faces[lo_key])
+            f.write(f'(0 "Periodic pairs for axis {"xyz"[axis]}")\n')
+            f.write(
+                f"(18 (1 {n_pairs:x} {zone_num[hi_key]:x} "
+                f"{zone_num[lo_key]:x})(\n"
+            )
+            for idx in range(n_pairs):
+                f.write(
+                    f"{zone_start[hi_key] + idx:x} "
+                    f"{zone_start[lo_key] + idx:x}\n"
+                )
+            f.write("))\n")

@@ -68,6 +68,7 @@ def _load() -> Optional[ctypes.CDLL]:
             "tgrid_n_faces",
             "tgrid_n_cells",
             "tgrid_total_face_nodes",
+            "tgrid_n_periodic",
         ):
             getattr(lib, fn).restype = ctypes.c_int64
             getattr(lib, fn).argtypes = [ctypes.c_void_p]
@@ -79,6 +80,7 @@ def _load() -> Optional[ctypes.CDLL]:
             "tgrid_face_nodes",
             "tgrid_face_cells",
             "tgrid_face_zone",
+            "tgrid_periodic_pairs",
         ):
             getattr(lib, fn).argtypes = [ctypes.c_void_p, ip]
         lib.tgrid_n_zones.argtypes = [ctypes.c_void_p]
@@ -126,6 +128,11 @@ def parse_tgrid_native(path: str) -> RawMesh:
         lib.tgrid_face_cells(h, face_cells)
         face_zone = np.empty(n_faces, dtype=np.int64)
         lib.tgrid_face_zone(h, face_zone)
+        n_per = lib.tgrid_n_periodic(h)
+        periodic_pairs = np.empty(max(n_per, 1) * 2, dtype=np.int64)
+        if n_per:
+            lib.tgrid_periodic_pairs(h, periodic_pairs)
+        periodic_pairs = periodic_pairs[: n_per * 2].reshape(n_per, 2)
 
         face_zones = {}
         name_buf = ctypes.create_string_buffer(256)
@@ -155,4 +162,5 @@ def parse_tgrid_native(path: str) -> RawMesh:
         face_zones=face_zones,
         cell_zones={},
         n_cells=int(n_cells),
+        periodic_pairs=periodic_pairs,
     )

@@ -13,7 +13,11 @@ Grammar coverage mirrors the reference reader (reference: io.rs:32-284):
 - ``(12 ...)``    cell zones
 - ``(13 ...)``    faces: node indices + two cell indices, hexadecimal,
                   1-based with 0 meaning "no cell" (boundary)
-- ``(18/58/59/61)`` periodic shadow faces / trees / interfaces: skipped
+- ``(18 ...)``    periodic shadow-face pairs: retained as
+                  ``RawMesh.periodic_pairs`` (the reference parses and
+                  then discards these, io.rs:176-179; keeping them is
+                  what enables the translational-periodic solver path)
+- ``(58/59/61)``  trees / interfaces: skipped
 - ``(39/45 ...)`` zone name sections (decimal ids) — used as a fallback
                   name source when no comment named the zone
 
@@ -48,6 +52,11 @@ class RawMesh:
     face_zones: Dict[int, FaceZone]
     cell_zones: Dict[int, CellZone]
     n_cells: int
+    # [P,2] int64, 0-based (periodic face, shadow face) pairs from the
+    # (18 ...) sections; empty for non-periodic meshes.
+    periodic_pairs: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2), dtype=np.int64)
+    )
 
     @property
     def n_faces(self) -> int:
@@ -75,6 +84,7 @@ def parse_tgrid(text: str) -> RawMesh:
     cell_zones: Dict[int, CellZone] = {}
     n_cells_declared = 0
     section_names: Dict[int, str] = {}
+    periodic_pairs: List[tuple] = []
 
     while i < n:
         line = lines[i].strip()
@@ -141,6 +151,20 @@ def parse_tgrid(text: str) -> RawMesh:
                         zone, CellZone(zone_id=zone, zone_type=ztype)
                     )
             i += 1
+            continue
+
+        if tok == "(18":
+            # Periodic shadow pairs: header (18 (first last zone shadow))
+            # followed by body lines "face shadow-face" in hex, 1-based
+            # (grammar per io.rs:176-179, which skips the data).
+            yield_buffer = []
+            i = _consume_body(lines, i + 1, yield_buffer)
+            for s in yield_buffer:
+                toks = _HEX_TOKENS.findall(s)
+                if len(toks) >= 2:
+                    periodic_pairs.append(
+                        (int(toks[0], 16) - 1, int(toks[1], 16) - 1)
+                    )
             continue
 
         if tok == "(13":
@@ -229,6 +253,11 @@ def parse_tgrid(text: str) -> RawMesh:
         face_zones=face_zones,
         cell_zones=cell_zones,
         n_cells=n_cells,
+        periodic_pairs=(
+            np.asarray(periodic_pairs, dtype=np.int64)
+            if periodic_pairs
+            else np.zeros((0, 2), dtype=np.int64)
+        ),
     )
 
 

@@ -42,7 +42,10 @@ class FaceCondition(enum.IntEnum):
     AXIS = 37
 
 
-#: Face conditions with full solver-path support.
+#: Face conditions with full solver-path support. PERIODIC /
+#: PERIODIC_SHADOW pairs are merged into interior faces at mesh-compile
+#: time (mesh/compile.py:_merge_periodic), so by the time a solve runs
+#: no face references them — they are "supported" by construction.
 SUPPORTED_CONDITIONS = frozenset(
     {
         FaceCondition.INTERIOR,
@@ -51,6 +54,8 @@ SUPPORTED_CONDITIONS = frozenset(
         FaceCondition.PRESSURE_OUTLET,
         FaceCondition.SYMMETRY,
         FaceCondition.VELOCITY_INLET,
+        FaceCondition.PERIODIC,
+        FaceCondition.PERIODIC_SHADOW,
     }
 )
 

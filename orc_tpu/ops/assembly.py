@@ -110,8 +110,24 @@ def momentum_system(
             raise ValueError("CD2 momentum requires grad_vel")
         a_nb = Fv / 2.0 * jnp.ones((1, 1, 3), F.dtype)
         nbr = mesh.cell_neighbors
-        r_cf = take(mesh.face_centroid, cf) - mesh.cell_centroid[:, None, :]
-        r_df = take(mesh.face_centroid, cf) - take(mesh.cell_centroid, nbr)
+        # Per-(c,k) cell->face and neighbor->face vectors. Neighbor-side
+        # rows (sgn<0) and periodic wraps need the face/neighbor seen in
+        # the LOCAL frame, which the stored owner->neighbor vector
+        # face_r_on encodes (incl. the periodic translation):
+        #   owner row:    r_cf = x_f - x_own,  r_df = r_cf - r_on
+        #   neighbor row: r_cf = (x_f - x_own_of_face) - r_on [local
+        #   face], r_df = r_cf + r_on.
+        r_on_ck = sgn[..., None] * take(mesh.face_r_on, cf)  # c -> other
+        r_f_own = take(
+            mesh.face_centroid - take(mesh.cell_centroid, mesh.face_owner),
+            cf,
+        )
+        r_cf = jnp.where(
+            (sgn > 0)[..., None],
+            r_f_own,
+            r_f_own - take(mesh.face_r_on, cf),
+        )
+        r_df = r_cf - r_on_ck
         g_c = jnp.einsum("cij,ckj->cki", grad_vel, r_cf)
         g_d = jnp.einsum("ckij,ckj->cki", take(grad_vel, nbr), r_df)
         delta = 0.5 * (g_c + g_d)  # [C,K,3]
@@ -128,7 +144,10 @@ def momentum_system(
         v_c = vel[:, None, :]
         diffv = v_d - v_c
         same = jnp.linalg.norm(diffv, axis=-1) == 0.0  # all-components equal
-        r_pa = take(mesh.cell_centroid, nbr) - mesh.cell_centroid[:, None, :]
+        # Cell->neighbor vector from the stored face geometry (periodic
+        # wraps see the neighbor's translated image, not the far side of
+        # the domain).
+        r_pa = sgn[..., None] * take(mesh.face_r_on, cf)
         gdotr = jnp.einsum("cij,ckj->cki", grad_vel, r_pa)  # [C,K,3]
         # Safe division: components with zero velocity difference fall
         # back to r=1 (psi(1)=1 for consistent limiters -> CD), avoiding

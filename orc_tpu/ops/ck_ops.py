@@ -83,17 +83,25 @@ def _expand_geometry(mesh: CompiledMesh):
     sgn = mesh.cell_face_sign
     area = take(mesh.face_area, cf) * m
     n_out = sgn[..., None] * take(mesh.face_normal, cf)
-    fc = take(mesh.face_centroid, cf)
     cc = mesh.cell_centroid
-    r_cf = (fc - cc[:, None, :]) * m[..., None]
-    nbr = mesh.cell_neighbors
     interior = take(mesh.face_interior, cf) & m
+    # Per-(c,k) geometry in each cell's LOCAL frame, derived from the
+    # stored face vectors so periodic wraps see translated images:
+    #   owner rows:    x_f - x_c = (x_f - x_own);      c->nbr = +r_on
+    #   neighbor rows: x_f - x_c = (x_f - x_own) - r_on; c->nbr = -r_on
+    r_on_face = take(mesh.face_r_on, cf)
+    r_f_own = take(
+        mesh.face_centroid - take(cc, mesh.face_owner), cf
+    )
+    r_cf = jnp.where(
+        (sgn > 0)[..., None], r_f_own, r_f_own - r_on_face
+    ) * m[..., None]
     r_on = jnp.where(
-        interior[..., None], take(cc, nbr) - cc[:, None, :], r_cf
+        interior[..., None], sgn[..., None] * r_on_face, r_cf
     )
     dist_on = jnp.sqrt(jnp.sum(r_on * r_on, axis=-1))
     dist_fo = jnp.sqrt(jnp.sum(r_cf * r_cf, axis=-1))
-    d_nf = fc - take(cc, nbr)
+    d_nf = r_cf - r_on
     dist_nf = jnp.sqrt(jnp.sum(d_nf * d_nf, axis=-1))
     w = jnp.where(
         interior,

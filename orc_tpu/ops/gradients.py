@@ -80,8 +80,10 @@ def _ls_rows(mesh: CompiledMesh):
     centroid delta; boundary -> face centroid delta; padded -> 0."""
     cf = mesh.cell_faces
     interior = take(mesh.face_interior, cf) & mesh.cell_face_mask
-    nbr = mesh.cell_neighbors
-    d_int = take(mesh.cell_centroid, nbr) - mesh.cell_centroid[:, None, :]
+    # Cell->neighbor displacement via the stored owner->neighbor vector
+    # (sign-flipped on neighbor-side rows); periodic wraps thereby see
+    # the neighbor's translated image.
+    d_int = mesh.cell_face_sign[..., None] * take(mesh.face_r_on, cf)
     d_bnd = take(mesh.face_centroid, cf) - mesh.cell_centroid[:, None, :]
     d = jnp.where(interior[..., None], d_int, d_bnd)
     return jnp.where(mesh.cell_face_mask[..., None], d, 0.0), interior

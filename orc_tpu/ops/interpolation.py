@@ -85,7 +85,10 @@ def face_pressure(
         if grad_p is None:
             raise ValueError("SECOND_ORDER face pressure requires grad_p")
         r0 = mesh.face_centroid - take(mesh.cell_centroid, mesh.face_owner)
-        r1 = mesh.face_centroid - take(mesh.cell_centroid, mesh.face_neighbor)
+        # x_f - x_nbr via the stored owner->neighbor vector (carries the
+        # periodic-image translation; raw centroid differences would
+        # span the whole domain across a periodic wrap).
+        r1 = r0 - mesh.face_r_on
         g0 = jnp.einsum("fi,fi->f", take(grad_p, mesh.face_owner), r0)
         g1 = jnp.einsum("fi,fi->f", take(grad_p, mesh.face_neighbor), r1)
         interior = 0.5 * ((own + nbr) + (g0 + g1))

@@ -107,6 +107,11 @@ def _partition_slab(
     dtype = dtype or mesh.dtype
     C, F, K = mesh.n_cells, mesh.n_faces, mesh.max_faces_per_cell
     offs = mesh.neighbor_offsets
+    # Ghost depth = the largest neighbor offset. Periodic wrap offsets
+    # transverse to the partition (slowest) axis are smaller than the
+    # existing plane offset, so they ride along free; periodicity ALONG
+    # the partition axis makes H approach C (each device replicates
+    # most of the domain) — still correct, but use RCB there instead.
     H = max(1, max(abs(int(d)) for d in offs))
     c_max = -(-C // n_parts)
     L = c_max + 2 * H + 1

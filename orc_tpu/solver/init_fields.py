@@ -56,6 +56,10 @@ class SystemConstraint(enum.Enum):
     PRESSURE_ONLY = "pressure_only"
     VELOCITY_ONLY = "velocity_only"
     HYBRID = "hybrid"
+    # Body-force-driven periodic systems: no pressure or velocity BC
+    # constrains the fields (flow is driven by a momentum source through
+    # periodic wraps). Init falls back to zeros.
+    UNCONSTRAINED = "unconstrained"
 
 
 def check_boundary_conditions(
@@ -108,7 +112,17 @@ def check_boundary_conditions(
         return SystemConstraint.VELOCITY_ONLY
     if pressure_bcs > 0:
         return SystemConstraint.PRESSURE_ONLY
+    if _has_periodic(table):
+        return SystemConstraint.UNCONSTRAINED
     raise ValueError("you must set boundary conditions")
+
+
+def _has_periodic(table: BoundaryTable) -> bool:
+    return any(
+        fz.zone_type
+        in (FaceCondition.PERIODIC, FaceCondition.PERIODIC_SHADOW)
+        for fz in table.zones.values()
+    )
 
 
 def _reciprocal(v):
@@ -123,7 +137,9 @@ def _laplace_coeffs(mesh: CompiledMesh):
     n_out = mesh.cell_face_sign[..., None] * take(mesh.face_normal, cf)
     av = take(mesh.face_area, cf) / mesh.cell_volume[:, None]
     x_c = mesh.cell_centroid[:, None, :]
-    d_int = x_c - take(mesh.cell_centroid, mesh.cell_neighbors)
+    # x_c - x_nbr from the stored owner->neighbor vectors (periodic
+    # wraps see the neighbor's translated image).
+    d_int = -mesh.cell_face_sign[..., None] * take(mesh.face_r_on, cf)
     d_bnd = x_c - take(mesh.face_centroid, cf)
     a_int = jnp.einsum("cki,cki->ck", _reciprocal(d_int), n_out) * av
     a_bnd = jnp.einsum("cki,cki->ck", _reciprocal(d_bnd), n_out) * av
@@ -207,7 +223,7 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
     # of runtime zero-column pruning.
     d = jnp.where(
         interior[..., None],
-        take(mesh.cell_centroid, mesh.cell_neighbors) - mesh.cell_centroid[:, None, :],
+        mesh.cell_face_sign[..., None] * take(mesh.face_r_on, cf),
         0.0,
     )
     dpsi = jnp.where(interior, take(psi, mesh.cell_neighbors) - psi[:, None], 0.0)
@@ -276,6 +292,8 @@ def _classify_only(table: BoundaryTable) -> SystemConstraint:
         )
     if p > 0:
         return SystemConstraint.PRESSURE_ONLY
+    if _has_periodic(table):
+        return SystemConstraint.UNCONSTRAINED
     raise ValueError("you must set boundary conditions")
 
 
