@@ -14,9 +14,12 @@ working implementation on the gather-free (c,k)-direct path:
   cells, fixed eps_P = C_mu^{3/4} k^{3/2}/(kappa y_p);
 - inlet k/eps from turbulence intensity + length scale.
 
-Status: EXPERIMENTAL — validated for qualitative turbulent-channel
-physics (flat profile, mu_t >> mu in the core, positive fields); not
-yet against friction-factor correlations.
+Validated quantitatively on the Re_tau=590 body-force-driven
+streamwise-periodic channel (tests/test_turbulence.py::
+test_channel_re_tau_590): U_b+ within 5% of the Moser-Kim-Mansour DNS
+(19.4 vs 18.5), centerline U_c+ within 2% (21.7 vs 21.26),
+wall-adjacent cell on the log law to ~1%, wall-adjacent k at the
+equilibrium 1/sqrt(C_mu) to ~3%.
 """
 
 from __future__ import annotations

@@ -1,15 +1,22 @@
-"""k-epsilon turbulence model tests (EXPERIMENTAL feature — the
-reference only declares the enum, lib.rs:164-168).
+"""k-epsilon turbulence model tests (the reference only declares the
+enum, lib.rs:164-168; this framework implements and validates it).
 
-Qualitative physics checks: stable coupled iteration, positive bounded
-fields, developed eddy viscosity orders of magnitude above molecular."""
+Quantitative pin: the Re_tau=590 body-force-driven streamwise-periodic
+channel (the standard wall-function validation rig, enabled by the
+periodic BC layer) must reproduce the DNS bulk/centerline velocities
+and the log law. Plus qualitative checks on a developing inlet-driven
+channel."""
 
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from orc_tpu.mesh import structured_box_mesh
 from orc_tpu.mesh.zones import FaceCondition
 from orc_tpu.solver.turbulence import (
+    E_WALL,
+    KAPPA,
     initial_turbulence,
     solve_steady_turbulent,
 )
@@ -76,6 +83,66 @@ def test_turbulent_channel_develops():
     # Mass conservation: bulk velocity ~ inlet velocity.
     u_mean = vel[:, 0].mean()
     assert abs(u_mean - 1.0) < 0.15, u_mean
+
+
+def test_channel_re_tau_590():
+    """Re_tau=590 periodic channel vs DNS (Moser, Kim & Mansour 1999:
+    U_b+ ~= 18.5, U_c+ ~= 21.26) and the equilibrium log law.
+
+    delta = u_tau = rho = 1, mu = 1/590, driven by the body force
+    G = rho u_tau^2/delta through streamwise-periodic wraps — at steady
+    state the total wall shear exactly balances G, so u_tau is imposed
+    and U_b+ is the prediction. First-cell y+ = 36.9 (log layer).
+    """
+    RE_TAU, H = 590.0, 2.0
+    rho, u_tau = 1.0, 1.0
+    mu = rho * u_tau * (H / 2) / RE_TAU
+    G = rho * u_tau**2 / (H / 2)
+    nx, ny = 4, 16
+    mesh, table = structured_box_mesh(
+        nx, ny, 1, lengths=(4.0, H, 0.2), periodic=("x",)
+    )
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set("TOP_WALL", FaceCondition.WALL)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    vol = float(np.asarray(mesh.cell_volume)[0])
+
+    def source(cc):
+        s = jnp.zeros_like(cc)
+        return s.at[:, 0].set(G * vol)
+
+    settings = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB, iterations=30
+        ),
+        momentum_source=source,
+    )
+    flow, turb, _ = solve_steady_turbulent(
+        mesh, table, settings, rho, mu,
+        u_ref=18.0, iterations=800, reporting_interval=800,
+        intensity=0.05, length_scale=0.2 * H, verbose=False,
+    )
+    u = np.asarray(flow.vel)[:, 0].reshape(ny, nx)
+    u_prof = u.mean(axis=1)
+    # Bulk and centerline velocity in wall units vs DNS.
+    U_b = u_prof.mean() / u_tau
+    U_c = u_prof.max() / u_tau
+    assert abs(U_b - 18.5) / 18.5 < 0.10, f"U_b+ = {U_b:.2f}"
+    assert abs(U_c - 21.26) / 21.26 < 0.05, f"U_c+ = {U_c:.2f}"
+    # Wall-adjacent cell on the log law u+ = ln(E y+)/kappa.
+    yp1 = RE_TAU * (H / ny) / 2
+    assert abs(u_prof[0] - np.log(E_WALL * yp1) / KAPPA) < 0.05 * u_prof[0]
+    # Wall-adjacent k at the equilibrium value k+ = 1/sqrt(C_mu).
+    k1 = np.asarray(turb.k).reshape(ny, nx).mean(axis=1)[0]
+    assert abs(k1 - 0.09**-0.5) / 0.09**-0.5 < 0.10, k1
+    # Seamless wrap: streamwise-invariant solution.
+    assert np.abs(u.std(axis=1)).max() < 1e-3
+    # Symmetric profile (to iteration-convergence level).
+    np.testing.assert_allclose(u_prof, u_prof[::-1], rtol=1e-3)
 
 
 def test_initial_turbulence_levels():
