@@ -113,6 +113,7 @@ def make_sharded_step(
     n_steps: int = 1,
     use_ck: bool = False,
     n_zones: int = 0,
+    mg_hierarchy=None,
 ):
     """Build the jitted shard_map'ed n-step SIMPLE runner.
 
@@ -123,12 +124,24 @@ def make_sharded_step(
     over local meshes) and sharded alongside the mesh, and the step's
     neighbor shifts read ghost-layer slots refreshed by ppermute — the
     distributed SpMV/assembly stays on the roll path end-to-end when
-    the partitioner preserved structured offsets (slab)."""
+    the partitioner preserved structured offsets (slab).
+
+    `mg_hierarchy`: static geometric-multigrid levels built on the
+    GLOBAL mesh (solver/gmg.py) — required for MULTIGRID runs. The
+    fine-level smoother runs distributed; coarse corrections run
+    replicated (gmg.gmg_solve_sharded)."""
     if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
-        raise NotImplementedError(
-            "multigrid is single-device for now; use BICGSTAB/JACOBI/"
-            "GAUSS_SEIDEL for sharded runs"
-        )
+        from orc_tpu.solver.gmg import GmgLevel
+
+        if not (
+            mg_hierarchy
+            and isinstance(mg_hierarchy[0], GmgLevel)
+        ):
+            raise NotImplementedError(
+                "sharded multigrid needs a geometric hierarchy "
+                "(structured mesh, solver/gmg.py); algebraic multigrid "
+                "is single-device"
+            )
     lm = partition.local_mesh
 
     stacked_ck = None
@@ -144,7 +157,9 @@ def make_sharded_step(
     shard = P(AXIS)
     repl = P()
 
-    def step_fn(lmesh, ck, send_idx, recv_idx, state, zc, zs, zv, rho, mu):
+    def step_fn(
+        lmesh, ck, send_idx, recv_idx, owned, state, zc, zs, zv, rho, mu
+    ):
         # shard_map delivers [1, ...] blocks: drop the part axis.
         sq = lambda t: jax.tree.map(lambda a: a[0], t)
         lmesh = sq(lmesh)
@@ -152,6 +167,11 @@ def make_sharded_step(
         recv_idx = sq(recv_idx)
         state = sq(state)
         comm = ShardedComm(partition, send_idx, recv_idx)
+        extras = {}
+        if mg_hierarchy is not None:
+            extras = dict(
+                mg_hierarchy=mg_hierarchy, mg_owned=sq(owned)
+            )
         if use_ck:
             from orc_tpu.ops.ck_ops import ck_bc, ck_diffusion
             from orc_tpu.solver.simple import ck_simple_step
@@ -163,7 +183,7 @@ def make_sharded_step(
             def body(s, _):
                 return ck_simple_step(
                     lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s,
-                    comm=comm,
+                    extras, comm=comm,
                 )
 
         else:
@@ -172,7 +192,8 @@ def make_sharded_step(
 
             def body(s, _):
                 return simple_step(
-                    lmesh, zc, zs, zv, settings, rho, mu, diff, s, comm=comm
+                    lmesh, zc, zs, zv, settings, rho, mu, diff, s,
+                    extras, comm=comm,
                 )
 
         state, metrics = lax.scan(body, state, None, length=n_steps)
@@ -184,7 +205,8 @@ def make_sharded_step(
         step_fn,
         mesh=device_mesh,
         in_specs=(
-            shard, ck_spec, shard, shard, shard, repl, repl, repl, repl, repl,
+            shard, ck_spec, shard, shard, shard, shard,
+            repl, repl, repl, repl, repl,
         ),
         out_specs=(shard, repl),
         check_vma=False,
@@ -197,6 +219,7 @@ def make_sharded_step(
             stacked_ck,
             partition.send_idx,
             partition.recv_idx,
+            (partition.owned_mask, partition.owned_global),
             local_state,
             zc,
             zs,
@@ -269,9 +292,23 @@ def solve_steady_sharded(
         state = initial_state(mesh)
     local = scatter_state(partition, state)
 
+    mg_h = None
+    if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
+        from orc_tpu.solver.gmg import build_gmg_hierarchy, infer_box_dims
+
+        dims = (
+            infer_box_dims(mesh.neighbor_offsets, mesh.n_cells)
+            if mesh.neighbor_offsets is not None
+            else None
+        )
+        if dims is not None:
+            mg_h = build_gmg_hierarchy(
+                dims, mesh.neighbor_offsets, settings.matrix_solver
+            )
+
     run = make_sharded_step(
         partition, settings, device_mesh, n_steps=reporting_interval,
-        use_ck=bool(use_ck), n_zones=len(table.zone_ids),
+        use_ck=bool(use_ck), n_zones=len(table.zone_ids), mg_hierarchy=mg_h,
     )
     history = []
     done = 0
@@ -282,6 +319,7 @@ def solve_steady_sharded(
             run = make_sharded_step(
                 partition, settings, device_mesh, n_steps=k,
                 use_ck=bool(use_ck), n_zones=len(table.zone_ids),
+                mg_hierarchy=mg_h,
             )
         local, metrics = run(local, zc, zs, zv, rho, mu)
         jax.block_until_ready(local)

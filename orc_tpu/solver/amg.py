@@ -200,10 +200,13 @@ def galerkin_values(A: EllMatrix, level: MgLevel):
     )
 
 
-def _smooth(A, b, x0, settings: MatrixSolverSettings, axis_sum,
-            iterations=None):
+def _smooth(A, b, x0, settings: MatrixSolverSettings,
+            axis_sum=_identity_sum, iterations=None, refresh=None):
     """Per-level smoother: Jacobi-preconditioned BiCGSTAB (the
-    reference's MULTIGRID_SMOOTHER, linear_algebra.rs:9)."""
+    reference's MULTIGRID_SMOOTHER, linear_algebra.rs:9). `refresh` is
+    the halo-refresh hook for distributed fine-level smoothing."""
+    from orc_tpu.solver.krylov import _no_refresh
+
     Ap, inv_d = A.jacobi_preconditioned()
     x, info = bicgstab_solve(
         Ap,
@@ -214,6 +217,7 @@ def _smooth(A, b, x0, settings: MatrixSolverSettings, axis_sum,
         else (settings.multigrid_smoother_iterations or settings.iterations),
         axis_sum,
         convergence_threshold=settings.relative_convergence_threshold,
+        refresh=refresh if refresh is not None else _no_refresh,
     )
     return x, info
 

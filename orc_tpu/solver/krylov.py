@@ -258,6 +258,7 @@ def iterative_solve(
     n_colors: int = 0,
     axis_sum=_identity_sum,
     mg_hierarchy=None,
+    mg_owned=None,  # (owned_mask [L], owned_global [L]) for sharded MG
     refresh=_no_refresh,
 ):
     """Solver dispatch mirroring the reference's `iterative_solve`
@@ -310,12 +311,23 @@ def iterative_solve(
             refresh,
         )
     if method == SolutionMethod.MULTIGRID:
-        from orc_tpu.solver.amg import multigrid_solve
-
         if mg_hierarchy is None:
             raise ValueError(
                 "Multigrid needs a host-built hierarchy; pass mg_hierarchy "
-                "(see orc_tpu.solver.amg.build_hierarchy)"
+                "(see orc_tpu.solver.gmg.build_gmg_hierarchy for "
+                "structured meshes, orc_tpu.solver.amg.build_hierarchy "
+                "otherwise)"
             )
+        from orc_tpu.solver.gmg import GmgLevel, gmg_solve, gmg_solve_sharded
+
+        if len(mg_hierarchy) and isinstance(mg_hierarchy[0], GmgLevel):
+            if mg_owned is not None:  # sharded run (shard_map context)
+                return gmg_solve_sharded(
+                    A, b, x0, settings, mg_hierarchy, axis_sum, refresh,
+                    mg_owned[0], mg_owned[1],
+                )
+            return gmg_solve(A, b, x0, settings, mg_hierarchy, axis_sum)
+        from orc_tpu.solver.amg import multigrid_solve
+
         return multigrid_solve(A, b, x0, settings, mg_hierarchy, axis_sum)
     raise NotImplementedError(f"solution method {method}")

@@ -555,10 +555,10 @@ def solve_steady(
         colors, n_colors = greedy_coloring(mesh)
         solver_extras = dict(colors=colors, n_colors=n_colors)
     elif settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
-        from orc_tpu.solver.amg import build_hierarchy
+        from orc_tpu.solver.gmg import build_mg_hierarchy
 
         solver_extras = dict(
-            mg_hierarchy=build_hierarchy(mesh, diff, settings.matrix_solver)
+            mg_hierarchy=build_mg_hierarchy(mesh, diff, settings)
         )
 
     run = _make_chunk_runner(

@@ -89,7 +89,11 @@ def main():
     else:
         print("above ck ceiling -> face-major step", file=sys.stderr)
 
-    n_iters = 50
+    # Keep single dispatches well under ~10s: longer ones have crashed
+    # the TPU worker through the tunnel (CLAUDE.md).
+    import os
+
+    n_iters = int(os.environ.get("ORC_TPU_BENCH_ITERS", "50"))
     run = _make_chunk_runner(mesh, settings, diff, n_iters, {}, ck=ck, ck_diff=ck_diff)
     state = initial_state(mesh)
     t0 = time.perf_counter()
