@@ -294,6 +294,44 @@ def ck_pressure_gradient(mesh, ck: CKGeometry, bc: CKBC, p):
     return jnp.sum((wgt * pf)[..., None] * ck.n_out, axis=1)
 
 
+def ck_lsq_pressure_gradient(mesh, ck: CKGeometry, bc: CKBC, p):
+    """Least-squares cell pressure gradient, gather-free (face-major
+    version: gradients.pressure_gradient LEAST_SQUARES — same rows:
+    interior neighbor deltas, boundary face deltas with the zone value
+    at pressure BCs). `ck.r_on` already IS the displacement-row table
+    (interior: c->nbr incl. periodic translation; boundary: c->face;
+    padded: 0)."""
+    from orc_tpu.ops.gradients import _least_squares
+
+    p_c = p[:, None]
+    p_n = nbr_values(mesh, p)
+    b = jnp.where(
+        ck.interior,
+        p_n - p_c,
+        jnp.where(bc.is_pressure, bc.scalar - p_c, 0.0),
+    )
+    b = jnp.where(ck.mask, b, 0.0)
+    return _least_squares(mesh, ck.r_on, b)
+
+
+def ck_lsq_velocity_gradient(
+    mesh, ck: CKGeometry, bc: CKBC, vel, vel_nbr=None
+):
+    """Least-squares velocity gradient [C,3,3], gather-free (face-major
+    version: gradients.velocity_gradient LEAST_SQUARES)."""
+    from orc_tpu.ops.gradients import _least_squares
+
+    v_c = vel[:, None, :]
+    v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel)
+    b = jnp.where(
+        ck.interior[..., None],
+        v_n - v_c,
+        jnp.where(bc.is_dirichlet_vel[..., None], bc.vector - v_c, 0.0),
+    )
+    b = jnp.where(ck.mask[..., None], b, 0.0)
+    return _least_squares(mesh, ck.r_on, b)
+
+
 def ck_velocity_gradient(mesh, ck: CKGeometry, bc: CKBC, vel, vel_nbr=None):
     """Green-Gauss velocity gradient [C,3,3] (row i = grad comp i)."""
     v_c = vel[:, None, :]

@@ -269,14 +269,14 @@ def solve_steady_sharded(
     partition = partition_mesh(mesh, n, method=partition_method)
     reporting_interval = max(1, min(reporting_interval, iterations))
 
-    ck_grad_ok = (
-        settings.gradient_reconstruction
-        == GradientReconstruction.GREEN_GAUSS_CELL
+    ck_grad_ok = settings.gradient_reconstruction in (
+        GradientReconstruction.GREEN_GAUSS_CELL,
+        GradientReconstruction.LEAST_SQUARES,
     )
     if use_ck is True and not ck_grad_ok:
         raise ValueError(
-            "use_ck=True requires green_gauss_cell gradients (the "
-            f"ck-direct step does not implement "
+            "use_ck=True requires green_gauss_cell or least_squares "
+            f"gradients (the ck-direct step does not implement "
             f"{settings.gradient_reconstruction})"
         )
     n_local = partition.local_mesh.cell_volume.shape[1]

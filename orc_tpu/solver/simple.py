@@ -327,12 +327,24 @@ def ck_simple_step(
 
     vel_nbr = nbr_values(mesh, vel)
     need_gp = _needs_grad_p(settings)
+    from orc_tpu.ops.ck_ops import (
+        ck_lsq_pressure_gradient,
+        ck_lsq_velocity_gradient,
+    )
+    from orc_tpu.utils.settings import GradientReconstruction
+
+    lsq = (
+        settings.gradient_reconstruction
+        == GradientReconstruction.LEAST_SQUARES
+    )
     grad_p = grad_p_nbr = None
     if need_gp:
-        grad_p = comm.refresh(ck_pressure_gradient(mesh, ck, bc, p))
+        gp_fn = ck_lsq_pressure_gradient if lsq else ck_pressure_gradient
+        grad_p = comm.refresh(gp_fn(mesh, ck, bc, p))
         grad_p_nbr = nbr_values(mesh, grad_p)
+    gv_fn = ck_lsq_velocity_gradient if lsq else ck_velocity_gradient
     grad_v = (
-        comm.refresh(ck_velocity_gradient(mesh, ck, bc, vel, vel_nbr=vel_nbr))
+        comm.refresh(gv_fn(mesh, ck, bc, vel, vel_nbr=vel_nbr))
         if settings.momentum in (MomentumScheme.TVD, MomentumScheme.CD2)
         else None
     )
@@ -527,14 +539,14 @@ def solve_steady(
     # LSQ / node-based runs must take the face-major path.
     from orc_tpu.utils.settings import GradientReconstruction
 
-    ck_grad_ok = (
-        settings.gradient_reconstruction
-        == GradientReconstruction.GREEN_GAUSS_CELL
+    ck_grad_ok = settings.gradient_reconstruction in (
+        GradientReconstruction.GREEN_GAUSS_CELL,
+        GradientReconstruction.LEAST_SQUARES,
     )
     if use_ck is True and not ck_grad_ok:
         raise ValueError(
-            "use_ck=True requires green_gauss_cell gradients (the "
-            f"ck-direct step does not implement "
+            "use_ck=True requires green_gauss_cell or least_squares "
+            f"gradients (the ck-direct step does not implement "
             f"{settings.gradient_reconstruction})"
         )
     if use_ck is True or (

@@ -18,6 +18,7 @@ from orc_tpu.solver.simple import (
     solve_steady,
 )
 from orc_tpu.utils.settings import (
+    GradientReconstruction,
     MatrixSolverSettings,
     MomentumScheme,
     NumericalSettings,
@@ -82,6 +83,21 @@ SCHEMES = {
             preconditioner=PreconditionMethod.JACOBI,
         ),
     ),
+    # Least-squares gradients on the ck path (gather-free LSQ rows from
+    # CKGeometry.r_on) vs the face-major LSQ — with TVD so both the
+    # pressure- and velocity-gradient variants are exercised.
+    "lsq": NumericalSettings(
+        momentum=MomentumScheme.TVD,
+        tvd_psi=tvd_umist,
+        gradient_reconstruction=GradientReconstruction.LEAST_SQUARES,
+        pressure_interpolation=PressureInterpolation.SECOND_ORDER,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=25,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    ),
 }
 
 
@@ -114,7 +130,7 @@ def test_ck_step_matches_face_major(scheme):
     # Non-smooth limiters (TVD) flip branches on rounding-level input
     # differences, so multi-step state comparison is meaningful only for
     # smooth schemes; one step suffices to pin the TVD path.
-    n_steps = 1 if scheme == "tvd" else 3
+    n_steps = 1 if settings.momentum == MomentumScheme.TVD else 3
     s_fm, s_ck = state, state
     for _ in range(n_steps):
         s_fm, m_fm = simple_step(
