@@ -117,11 +117,9 @@ def main():
         ck_diff = ck_diffusion(mesh, ck, ck_bc(ck, zc, zs, zv), jnp.asarray(mu, mesh.dtype))
     extras = {}
     if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
-        from orc_tpu.solver.amg import build_hierarchy
+        from orc_tpu.solver.gmg import build_mg_hierarchy
 
-        extras = dict(
-            mg_hierarchy=build_hierarchy(mesh, diff, settings.matrix_solver)
-        )
+        extras = dict(mg_hierarchy=build_mg_hierarchy(mesh, diff, settings))
     run = _make_chunk_runner(
         mesh, settings, diff, n_iters, extras, ck=ck, ck_diff=ck_diff
     )

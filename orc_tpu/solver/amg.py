@@ -218,6 +218,7 @@ def _smooth(A, b, x0, settings: MatrixSolverSettings,
         axis_sum,
         convergence_threshold=settings.relative_convergence_threshold,
         refresh=refresh if refresh is not None else _no_refresh,
+        compensated=settings.compensated_f32,
     )
     return x, info
 

@@ -57,6 +57,30 @@ def _dot(a, b, axis_sum):
     return axis_sum(jnp.sum(a * b, axis=-1))
 
 
+def _wide(v):
+    """Double-width view of f32 data for compensated reductions (f32
+    products are exact in f64; the f64 sum is then correctly rounded
+    to far below f32 epsilon)."""
+    return v.astype(jnp.float64) if v.dtype == jnp.float32 else v
+
+
+def _norm_comp(v, axis_sum):
+    w = _wide(v)
+    return jnp.sqrt(axis_sum(jnp.sum(w * w, axis=-1))).astype(v.dtype)
+
+
+def _dot_comp(a, b, axis_sum):
+    return axis_sum(jnp.sum(_wide(a) * _wide(b), axis=-1)).astype(a.dtype)
+
+
+def _reducers(compensated: bool):
+    """(dot, norm) pair: plain f-width or compensated (f64-accumulated
+    for f32 systems; identical for f64 systems)."""
+    if compensated:
+        return _dot_comp, _norm_comp
+    return _dot, _norm
+
+
 def _no_refresh(x):
     return x
 
@@ -89,11 +113,13 @@ def jacobi_solve(
     convergence_threshold,
     axis_sum=_identity_sum,
     refresh=_no_refresh,
+    compensated: bool = False,
 ):
     """Relaxed Jacobi with the reference's convergence semantics
     (linear_algebra.rs:172-218): the baseline residual is recorded after
     the second sweep (its off-by-one kept for behavioral parity) and the
     loop exits when ||r|| / ||r_baseline|| < threshold."""
+    _, _norm = _reducers(compensated)
     inv_diag = 1.0 / A.diag
     b_prime = b * inv_diag
 
@@ -143,13 +169,18 @@ def bicgstab_solve(
     axis_sum=_identity_sum,
     convergence_threshold: float = 1e-14,
     refresh=_no_refresh,
+    compensated: bool = False,
 ):
     """Textbook BiCGSTAB with r_hat0 = ones
     (reference: linear_algebra.rs:247-269). Unlike the reference (fixed
     count, no exit), this adds a tight relative-residual exit and
     breakdown guards: once the residual (or a Krylov denominator)
     underflows, continuing produces 0/0 -> NaN and poisons the solution,
-    so the iteration freezes instead."""
+    so the iteration freezes instead.
+
+    `compensated`: accumulate f32 dot products / norms in f64 (see
+    MatrixSolverSettings.compensated_f32)."""
+    _dot, _norm = _reducers(compensated)
     r0 = b - _mv(A, x0, refresh)
     # Shadow residual r_hat = r0 (the standard choice). The reference
     # uses a ones vector (linear_algebra.rs:252), which is
@@ -278,6 +309,7 @@ def iterative_solve(
             settings.relative_convergence_threshold,
             axis_sum,
             refresh,
+            compensated=settings.compensated_f32,
         )
     if method == SolutionMethod.BICGSTAB:
         # The reference's BiCGSTAB has no convergence exit
@@ -292,6 +324,7 @@ def iterative_solve(
             axis_sum,
             convergence_threshold=settings.relative_convergence_threshold,
             refresh=refresh,
+            compensated=settings.compensated_f32,
         )
     if method == SolutionMethod.GAUSS_SEIDEL:
         if colors is None:

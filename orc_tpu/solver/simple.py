@@ -439,8 +439,11 @@ def ck_simple_step(
 
 
 #: Cell-count ceiling for the [C,K]-expanded fast path (the expanded
-#: static geometry costs ~110 B x K per cell).
-CK_AUTO_MAX_CELLS = int(os.environ.get("ORC_TPU_CK_MAX_CELLS", "4000000"))
+#: static geometry costs ~350 B/cell at K=6 f32). With the layout-safe
+#: gathers (ops/layout.py) a 9.4M-cell f32 cavity runs on one v5e chip
+#: at 378 ms/iter (BASELINE.md scale table, round 2); the ceiling
+#: guards the geometry expansion itself, not the step.
+CK_AUTO_MAX_CELLS = int(os.environ.get("ORC_TPU_CK_MAX_CELLS", "10000000"))
 
 
 @partial(

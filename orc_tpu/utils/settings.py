@@ -163,6 +163,13 @@ class MatrixSolverSettings:
     # accurate coarsest-level solve is the standard, much cheaper
     # configuration.
     multigrid_smoother_iterations: Optional[int] = None
+    # Compensated f32 reductions: accumulate Krylov dot products and
+    # residual norms of float32 systems in double width (f32 products
+    # are exact in f64). Recovers reduction accuracy lost to f32
+    # cancellation at large cell counts for a small cost (the reduction
+    # stream only — fields, SpMV and updates stay f32). No effect on
+    # f64 runs. (SURVEY §7 design stance: compensated-f32 reductions.)
+    compensated_f32: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

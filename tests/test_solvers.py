@@ -261,3 +261,53 @@ def test_multigrid_tuned_smoother():
     r = np.asarray(A.matvec(x) - b)
     assert np.linalg.norm(r) < TOL, np.linalg.norm(r)
     np.testing.assert_allclose(np.asarray(x), x_true, atol=5e-2)
+
+
+def test_compensated_f32_reductions():
+    """compensated_f32: f32 dot products accumulate in double width —
+    the reduction error drops from f32-summation scale to ~f32 eps of
+    the result (SURVEY §7 design stance)."""
+    from orc_tpu.solver.krylov import (
+        _dot,
+        _dot_comp,
+        _identity_sum,
+        bicgstab_solve,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 200_000
+    # Ill-conditioned sum: large cancelling pairs + small signal.
+    big = rng.standard_normal(n // 2) * 1e4
+    a64 = np.concatenate([big, -big]) + rng.standard_normal(n)
+    b64 = np.ones(n)
+    a32 = jnp.asarray(a64, jnp.float32)
+    b32 = jnp.asarray(b64, jnp.float32)
+    exact = float(np.sum(np.asarray(a32, np.float64)))
+    plain = float(_dot(a32, b32, _identity_sum))
+    comp = float(_dot_comp(a32, b32, _identity_sum))
+    assert abs(comp - exact) <= abs(plain - exact)
+    assert abs(comp - exact) < 1e-6 * np.sum(np.abs(a64))
+    # Output dtype stays f32 (no f64 leaks into the Krylov state).
+    assert _dot_comp(a32, b32, _identity_sum).dtype == jnp.float32
+
+    # Solver-level: an f32 solve with compensation converges at least
+    # as tightly as without on the reference system.
+    A, b, x_true = reference_test_system()
+    A32 = EllMatrix(
+        diag=A.diag.astype(jnp.float32),
+        off=A.off.astype(jnp.float32),
+        neighbors=A.neighbors,
+    )
+    b32v = b.astype(jnp.float32)
+    x_p, _ = bicgstab_solve(
+        A32, b32v, jnp.zeros(N, jnp.float32), 60, compensated=False
+    )
+    x_c, info_c = bicgstab_solve(
+        A32, b32v, jnp.zeros(N, jnp.float32), 60, compensated=True
+    )
+    assert x_c.dtype == jnp.float32
+    r_c = np.linalg.norm(np.asarray(A32.matvec(x_c) - b32v))
+    assert np.isfinite(r_c)
+    np.testing.assert_allclose(
+        np.asarray(x_c), x_true, rtol=2e-4, atol=2e-4
+    )
