@@ -124,7 +124,7 @@ def shift_spmv(diag, off, offsets: tuple, x, interpret: bool = False):
                 lambda r: (z32(r), r, z32(r)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (BLOCK_ROWS, LANES),

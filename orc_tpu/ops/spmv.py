@@ -81,11 +81,16 @@ class EllMatrix:
 
 import os as _os
 
-#: Opt-in Pallas kernel for large structured f32 SpMVs
-#: (ORC_TPU_PALLAS_SPMV=1). Measured at 1M cells f32 on v5e: 385 GB/s
-#: (47% HBM roofline) vs ~300 GB/s for the XLA shift path. f64 cannot
-#: use it (XLA's x64-emulation rewrite rejects custom calls).
-_PALLAS_SPMV = _os.environ.get("ORC_TPU_PALLAS_SPMV", "0") == "1"
+#: Pallas halo-window kernel for large structured f32 SpMVs — ON by
+#: default on TPU (ORC_TPU_PALLAS_SPMV=0 disables). Re-measured with
+#: the hardened scan-slope timing (round 2, scripts/bench_pallas_spmv):
+#: it beats the XLA shift path on every case tried — 1M-cell 3D 695 vs
+#: 659 GB/s, 1024^2 f32 1095 vs 901, 2048^2 1169 vs 1055 (single x
+#: read via VMEM halo windows vs XLA's per-offset rolls). f64 cannot
+#: use it (XLA's x64-emulation rewrite rejects custom calls), nor can
+#: batched [3,C] momentum solves; the [C] pressure solve — the
+#: dominant cost — qualifies.
+_PALLAS_SPMV = _os.environ.get("ORC_TPU_PALLAS_SPMV", "1") == "1"
 _PALLAS_MIN_CELLS = 262144
 
 

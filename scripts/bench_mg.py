@@ -88,6 +88,16 @@ def bench_case(name):
             iterations=50,
             preconditioner=PreconditionMethod.JACOBI,
         ),
+        # The reference's BiCGSTAB semantics: fixed 50 sweeps, no
+        # relative-residual exit (linear_algebra.rs:255-268) — the
+        # regime in which its "multigrid is by far the fastest" claim
+        # (lib.rs:33) was made.
+        "bicgstab_fixed50": MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=50,
+            relative_convergence_threshold=0.0,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
         "multigrid": MatrixSolverSettings(
             solver_type=SolutionMethod.MULTIGRID,
             iterations=50,
@@ -140,6 +150,9 @@ def bench_case(name):
     r = out["multigrid"][0] / out["bicgstab"][0]
     print(f"{name}: multigrid/bicgstab ms ratio = {r:.2f}  "
           f"(p_corr ratio {out['multigrid'][1] / max(out['bicgstab'][1], 1e-300):.2f})")
+    if "bicgstab_fixed50" in out:
+        rf = out["multigrid"][0] / out["bicgstab_fixed50"][0]
+        print(f"{name}: multigrid/bicgstab_fixed50 ms ratio = {rf:.2f}")
 
 
 def main():

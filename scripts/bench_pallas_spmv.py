@@ -23,23 +23,26 @@ def main():
 
     print(f"backend: {jax.devices()}", file=sys.stderr)
 
-    def slope(f, x0, n=64):
+    def slope(f, x0):
         def run(ns):
             g = jax.jit(
                 lambda x: lax.scan(
                     lambda c, _: (f(c), None), x, None, length=ns
                 )[0]
             )
-            jax.block_until_ready(g(x0))
+            # Dependent host copy closes each timed dispatch
+            # (block_until_ready alone misreports through the tunnel —
+            # CLAUDE.md / bench_layout.py hardened recipe).
+            _ = np.asarray(g(x0)[:8])
             ts = []
-            for _ in range(3):
+            for _i in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(g(x0))
+                _ = np.asarray(g(x0)[:8])
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
-        t1, tn = run(1), run(n)
-        return (tn - t1) / (n - 1)
+        t1, tn = run(64), run(512)
+        return (tn - t1) / (512 - 64)
 
     mesh, _ = structured_box_mesh(100, 100, 100)
     C, K = mesh.cell_neighbors.shape
