@@ -63,7 +63,38 @@ def structured_box_mesh(
     table keeps the axis's two zones, retyped PERIODIC/PERIODIC_SHADOW
     for bookkeeping (no faces reference them — wrap faces are
     interior).
+
+    The ELL adjacency, offsets, and interpolation geometry of a
+    uniform box are all analytic, so this builds the CompiledMesh
+    arrays directly (_structured_compile) instead of routing through
+    the generic `compile_from_arrays` sort/dedup machinery — ~10x
+    faster at multi-million cells (the generic path remains for TGRID
+    meshes and is the equivalence reference in tests/test_mesh.py).
     """
+    per_axes = frozenset({"x": 0, "y": 1, "z": 2}[a] for a in periodic)
+    # A 2-cell periodic axis gives two same-offset neighbors per row
+    # (step and wrap both at +/-1): no structured column assignment
+    # exists — take the generic (gather-path) construction.
+    fast = all(
+        (axis not in per_axes) or n >= 3
+        for axis, n in zip((0, 1, 2), (nx, ny, nz))
+    )
+    if fast:
+        return _structured_compile(
+            nx, ny, nz, lengths, origin, zone_names, dtype, per_axes
+        )
+    return _structured_box_mesh_generic(
+        nx, ny, nz, lengths, origin, zone_names, dtype, periodic
+    )
+
+
+def _structured_box_mesh_generic(
+    nx, ny, nz, lengths, origin, zone_names, dtype, periodic
+):
+    """Generic-path construction (face lists -> compile_from_arrays).
+    Kept as the equivalence reference for `_structured_compile` and as
+    the fallback for configurations without a structured column
+    assignment (2-cell periodic axes)."""
     names = dict(DEFAULT_ZONE_NAMES)
     if zone_names:
         names.update(zone_names)
@@ -202,6 +233,269 @@ def structured_box_mesh(
         cell_volume=vol,
         dtype=dtype,
         face_shift=np.concatenate(shifts) if per_axes else None,
+    )
+    return mesh, table
+
+
+def _box_zone_table(names, per_axes):
+    """Zone table shared by both structured constructions: 1 interior,
+    2..7 the axis boundary pairs (retyped PERIODIC/PERIODIC_SHADOW on
+    periodic axes)."""
+    zones = {1: FaceZone(1, FaceCondition.INTERIOR, names["interior"])}
+    for axis, (lo_key, hi_key) in enumerate(
+        (("x-", "x+"), ("y-", "y+"), ("z-", "z+"))
+    ):
+        lo_t, hi_t = (
+            (FaceCondition.PERIODIC, FaceCondition.PERIODIC_SHADOW)
+            if axis in per_axes
+            else (FaceCondition.WALL, FaceCondition.WALL)
+        )
+        zones[2 + 2 * axis] = FaceZone(2 + 2 * axis, lo_t, names[lo_key])
+        zones[3 + 2 * axis] = FaceZone(3 + 2 * axis, hi_t, names[hi_key])
+    return BoundaryTable(zones)
+
+
+def _structured_compile(
+    nx, ny, nz, lengths, origin, zone_names, dtype, per_axes
+):
+    """Direct analytic CompiledMesh construction for a uniform box.
+
+    Everything the generic `compile_from_arrays` derives by sorting and
+    deduplicating face lists is closed-form here: face ids are
+    (axis, plane, transverse) triples, the ELL has one column per flat
+    offset (ascending), boundary faces occupy their own direction's
+    masked-off column (or the first free pad column on 1-cell axes),
+    and the interpolation geometry of a uniform grid is constant per
+    face class. Semantically equivalent to the generic path (pinned by
+    tests/test_mesh.py::test_structured_fast_matches_generic)."""
+    names = dict(DEFAULT_ZONE_NAMES)
+    if zone_names:
+        names.update(zone_names)
+    dims = (nx, ny, nz)
+    for axis in per_axes:
+        if dims[axis] < 2:
+            raise ValueError(
+                f"periodic axis {'xyz'[axis]} needs at least 2 cells "
+                f"(got {dims[axis]}): a 1-cell wrap face would connect "
+                f"a cell to itself"
+            )
+    h = (lengths[0] / nx, lengths[1] / ny, lengths[2] / nz)
+    o = origin
+    C = nx * ny * nz
+    table = _box_zone_table(names, per_axes)
+    slot = table.slot_of_zone
+    int_slot = slot[1]
+
+    idx = np.arange(C, dtype=np.int64)
+    ia = (idx % nx, (idx // nx) % ny, idx // (nx * ny))  # i, j, k
+    strides = (1, nx, nx * ny)
+
+    # Transverse flat index (cell id with the axis digit removed) and
+    # its inverse (cell id from transverse index + axis coordinate).
+    def other_flat(axis):
+        if axis == 0:
+            return idx // nx
+        if axis == 1:
+            return ia[0] + nx * ia[2]
+        return idx % (nx * ny)
+
+    def cell_from(axis, of, q):
+        if axis == 0:
+            return q + nx * of
+        if axis == 1:
+            return of % nx + nx * q + nx * ny * (of // nx)
+        return of + nx * ny * q
+
+    # --- face arrays, direction-major -------------------------------
+    P = {a: C // dims[a] for a in range(3)}
+    n_planes = {
+        a: dims[a] + (0 if a in per_axes else 1) for a in range(3)
+    }
+    base = {}
+    acc = 0
+    for a in range(3):
+        base[a] = acc
+        acc += n_planes[a] * P[a]
+    F = acc
+
+    f_owner = np.empty(F, dtype=np.int64)
+    f_neighbor = np.empty(F, dtype=np.int64)
+    f_interior = np.empty(F, dtype=bool)
+    f_area = np.empty(F)
+    f_normal = np.zeros((F, 3))
+    f_centroid = np.empty((F, 3))
+    f_zslot = np.empty(F, dtype=np.int64)
+    f_lw = np.empty(F)
+    f_r_on = np.zeros((F, 3))
+    f_dist_on = np.empty(F)
+    f_dist_fo = np.empty(F)
+
+    for a in range(3):
+        per = a in per_axes
+        n_a, s_a, pa = dims[a], strides[a], P[a]
+        sl = slice(base[a], base[a] + n_planes[a] * pa)
+        fi = np.arange(n_planes[a] * pa, dtype=np.int64)
+        p_idx = fi // pa
+        of = fi % pa
+        plane = p_idx + 1 if per else p_idx
+        if per:
+            own_q = p_idx  # cell below plane p_idx+1
+            nbr_q = np.where(p_idx < n_a - 1, p_idx + 1, 0)
+            f_owner[sl] = cell_from(a, of, own_q)
+            f_neighbor[sl] = cell_from(a, of, nbr_q)
+            f_interior[sl] = True
+            f_normal[sl, a] = 1.0
+            f_zslot[sl] = int_slot
+            f_lw[sl] = 0.5
+            f_r_on[sl, a] = h[a]
+            f_dist_on[sl] = h[a]
+        else:
+            has_lo = p_idx > 0
+            has_hi = p_idx < n_a
+            own_q = np.where(has_lo, p_idx - 1, 0)
+            f_owner[sl] = cell_from(a, of, own_q)
+            inter = has_lo & has_hi
+            nbr = np.where(
+                inter, cell_from(a, of, np.minimum(p_idx, n_a - 1)), -1
+            )
+            f_neighbor[sl] = nbr
+            f_interior[sl] = inter
+            f_normal[sl, a] = np.where(has_lo, 1.0, -1.0)
+            f_zslot[sl] = np.where(
+                inter,
+                int_slot,
+                np.where(has_lo, slot[3 + 2 * a], slot[2 + 2 * a]),
+            )
+            f_lw[sl] = np.where(inter, 0.5, 0.0)
+            # owner -> neighbor (interior: +h along a); boundary:
+            # owner -> face centroid (half cell toward the face).
+            f_r_on[sl, a] = np.where(
+                inter, h[a], np.where(has_lo, 0.5 * h[a], -0.5 * h[a])
+            )
+            f_dist_on[sl] = np.where(inter, h[a], 0.5 * h[a])
+        f_area[sl] = np.prod([h[b] for b in range(3) if b != a])
+        f_dist_fo[sl] = 0.5 * h[a]
+        # Centroid: axis coordinate on the plane, transverse centered.
+        f_centroid[sl, a] = o[a] + plane * h[a]
+        for b in range(3):
+            if b == a:
+                continue
+            # Decode transverse coordinates per (a, b) pair.
+            if a == 0:  # of = j + ny*k
+                coord = of % ny if b == 1 else of // ny
+            elif a == 1:  # of = i + nx*k
+                coord = of % nx if b == 0 else of // nx
+            else:  # of = i + nx*j
+                coord = of % nx if b == 0 else of // nx
+            f_centroid[sl, b] = o[b] + (coord + 0.5) * h[b]
+
+    # --- ELL tables: one column per flat offset ---------------------
+    col_specs = []  # (delta, builder)
+    leftovers = []
+    for a in range(3):
+        per = a in per_axes
+        n_a, s_a, pa = dims[a], strides[a], P[a]
+        i_a = ia[a]
+        of_c = other_flat(a)
+        if n_a == 1:
+            # Both faces are leftover boundary fills (plane 0 and 1).
+            leftovers.append((base[a] + of_c, base[a] + pa + of_c))
+            continue
+        if per:
+            fup = base[a] + i_a * pa + of_c  # plane i_a+1
+            fdn = base[a] + ((i_a - 1) % n_a) * pa + of_c
+            col_specs.append(
+                (s_a, dict(face=fup, mask=i_a < n_a - 1, sign=1.0,
+                           nbr=idx + s_a))
+            )
+            col_specs.append(
+                (-s_a, dict(face=fdn, mask=i_a > 0, sign=-1.0,
+                            nbr=idx - s_a))
+            )
+            w = s_a * (n_a - 1)
+            fw = base[a] + (n_a - 1) * pa + of_c
+            col_specs.append(
+                (-w, dict(face=fw, mask=i_a == n_a - 1, sign=1.0,
+                          nbr=idx - w))
+            )
+            col_specs.append(
+                (w, dict(face=fw, mask=i_a == 0, sign=-1.0,
+                         nbr=idx + w))
+            )
+        else:
+            fup = base[a] + (i_a + 1) * pa + of_c
+            fdn = base[a] + i_a * pa + of_c
+            hi = i_a == n_a - 1
+            lo = i_a == 0
+            col_specs.append(
+                (s_a, dict(face=fup, mask=None, sign=1.0,
+                           nbr=np.where(hi, idx, idx + s_a),
+                           interior=~hi))
+            )
+            col_specs.append(
+                (-s_a, dict(face=fdn, mask=None,
+                            sign=np.where(lo, 1.0, -1.0),
+                            nbr=np.where(lo, idx, idx - s_a),
+                            interior=~lo))
+            )
+
+    col_specs.sort(key=lambda t: t[0])
+    n_struct = len(col_specs)
+    K = max(n_struct, 6)
+    cell_faces = np.zeros((C, K), dtype=np.int64)
+    cell_mask = np.zeros((C, K), dtype=bool)
+    cell_sign = np.zeros((C, K))
+    cell_nbrs = np.tile(idx[:, None], (1, K))
+    for kcol, (delta, spec) in enumerate(col_specs):
+        m = spec["mask"] if spec["mask"] is not None else np.ones(C, bool)
+        cell_faces[:, kcol] = np.where(m, spec["face"], 0)
+        cell_mask[:, kcol] = m
+        cell_sign[:, kcol] = np.where(m, spec["sign"], 0.0)
+        nbr_col = np.where(
+            m & spec.get("interior", m), spec["nbr"], idx
+        )
+        cell_nbrs[:, kcol] = nbr_col
+    used = cell_mask.copy()
+    for lo_face, hi_face in leftovers:
+        for bface in (lo_face, hi_face):
+            kfree = np.argmax(~used, axis=1)
+            rows = idx
+            cell_faces[rows, kfree] = bface
+            cell_mask[rows, kfree] = True
+            cell_sign[rows, kfree] = 1.0
+            used[rows, kfree] = True
+    offsets = tuple(int(d) for d, _ in col_specs) + (0,) * (K - n_struct)
+
+    # --- cell geometry ----------------------------------------------
+    cc = np.empty((C, 3))
+    for a in range(3):
+        cc[:, a] = o[a] + (ia[a] + 0.5) * h[a]
+    vol = np.full(C, h[0] * h[1] * h[2])
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    mesh = CompiledMesh(
+        face_owner=i32(f_owner),
+        face_neighbor=i32(
+            np.where(f_interior, f_neighbor, f_owner)
+        ),
+        face_interior=jnp.asarray(f_interior),
+        face_area=f(f_area),
+        face_normal=f(f_normal),
+        face_centroid=f(f_centroid),
+        face_zone_slot=i32(f_zslot),
+        face_lw=f(f_lw),
+        face_r_on=f(f_r_on),
+        face_dist_on=f(f_dist_on),
+        face_dist_fo=f(f_dist_fo),
+        cell_centroid=f(cc),
+        cell_volume=f(vol),
+        cell_faces=i32(cell_faces),
+        cell_face_mask=jnp.asarray(cell_mask),
+        cell_face_sign=f(cell_sign),
+        cell_neighbors=i32(cell_nbrs),
+        dim=3,
+        neighbor_offsets=offsets,
     )
     return mesh, table
 

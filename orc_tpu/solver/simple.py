@@ -101,6 +101,8 @@ class StepMetrics(NamedTuple):
     mom_residual: jax.Array  # [3] final momentum solve residuals
     pc_residual: jax.Array  # pressure-correction solve residual
     diverged: jax.Array  # bool
+    mom_iters: jax.Array  # [3] inner iterations taken per momentum solve
+    pc_iters: jax.Array  # inner iterations taken by the p' solve
 
 
 def stack_history(history):
@@ -277,6 +279,8 @@ def simple_step(
         mom_residual=info.residual,
         pc_residual=p_info.residual,
         diverged=diverged,
+        mom_iters=info.iterations,
+        pc_iters=p_info.iterations,
     )
     new_state = FlowState(vel=vel3, p=p_new, mom_diag=new_mom_diag)
     return new_state, metrics
@@ -434,6 +438,8 @@ def ck_simple_step(
             | jnp.any(info.diverged)
             | p_info.diverged
         ),
+        mom_iters=info.iterations,
+        pc_iters=p_info.iterations,
     )
     return FlowState(vel=vel3, p=p_new, mom_diag=new_mom_diag), metrics
 

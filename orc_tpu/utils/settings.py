@@ -55,19 +55,31 @@ class DiffusionScheme(enum.Enum):
 
 
 class PressureInterpolation(enum.Enum):
-    """Face-pressure interpolation (reference: lib.rs:125-133)."""
+    """Face-pressure interpolation (reference: lib.rs:125-133).
+
+    STANDARD exists for enum-surface parity and raises on use exactly
+    like the reference (solver.rs:1134-1137 panics "not supported").
+    NONE mirrors the reference's internal-only sentinel ("no
+    interpolation will be needed", lib.rs:131-132); passing it to a
+    solve raises — this framework's ops never dispatch on it."""
 
     LINEAR = "linear"
     LINEAR_WEIGHTED = "linear_weighted"
+    STANDARD = "standard"
     SECOND_ORDER = "second_order"
+    NONE = "none"
 
 
 class VelocityInterpolation(enum.Enum):
-    """Face-velocity / face-flux interpolation (reference: lib.rs:135-146)."""
+    """Face-velocity / face-flux interpolation (reference: lib.rs:135-146).
+
+    NONE mirrors the reference's internal-only sentinel (lib.rs:144-145);
+    raises if a solve is attempted with it."""
 
     LINEAR = "linear"
     LINEAR_WEIGHTED = "linear_weighted"
     RHIE_CHOW = "rhie_chow"
+    NONE = "none"
 
 
 class GradientReconstruction(enum.Enum):
@@ -75,11 +87,13 @@ class GradientReconstruction(enum.Enum):
 
     GREEN_GAUSS_NODE (vertex-interpolated face values; the reference's
     NodeBased variant panics, solver.rs:901) needs a mesh loaded with
-    read_mesh(..., nodes=True)."""
+    read_mesh(..., nodes=True). NONE mirrors the reference's
+    internal-only sentinel (lib.rs:159-161); raises on use."""
 
     GREEN_GAUSS_CELL = "green_gauss_cell"
     GREEN_GAUSS_NODE = "green_gauss_node"
     LEAST_SQUARES = "least_squares"
+    NONE = "none"
 
 
 class TurbulenceModel(enum.Enum):

@@ -114,6 +114,14 @@ def main():
     u = np.asarray(state.vel[:, 0])
     assert np.isfinite(u).all()
     assert np.abs(u).max() < 2.0, "cavity fields not physical"
+    mi = np.asarray(m.mom_iters)
+    pi = np.asarray(m.pc_iters)
+    print(
+        f"inner iters (mean of last chunk): momentum "
+        f"{mi.mean(axis=0) if mi.ndim > 1 else mi.mean()}, "
+        f"pressure {pi.mean():.1f}",
+        file=sys.stderr,
+    )
     print(
         f"{n_iters} iterations in {dt:.2f}s -> {n_iters/dt:.2f} iters/sec "
         f"({1e3*dt/n_iters:.2f} ms/iter) at {n_cells} cells; "

@@ -187,3 +187,34 @@ def test_tvd_reduces_to_cd_for_linear_field():
         np.testing.assert_allclose(
             off_cd[comp][sel], off_tvd[comp][sel], rtol=1e-9, atol=1e-12
         )
+
+
+def test_parity_stub_enums_raise():
+    """Enum-surface parity: the reference's Standard / None variants
+    (lib.rs:129,132,145,161) exist and raise on use, mirroring the
+    reference's panic (solver.rs:1134-1137)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from orc_tpu.mesh.generate import structured_box_mesh
+    from orc_tpu.ops.fields import device_bc, face_bc
+    from orc_tpu.ops.gradients import pressure_gradient
+    from orc_tpu.ops.interpolation import face_flux, face_pressure
+    from orc_tpu.utils.settings import (
+        GradientReconstruction,
+        PressureInterpolation,
+        VelocityInterpolation,
+    )
+
+    mesh, table = structured_box_mesh(3, 3, 1)
+    zc, zs, zv = device_bc(table, mesh.dtype)
+    fbc = face_bc(mesh, zc, zs, zv)
+    p = jnp.zeros(mesh.n_cells, mesh.dtype)
+    vel = jnp.zeros((mesh.n_cells, 3), mesh.dtype)
+    for scheme in (PressureInterpolation.STANDARD, PressureInterpolation.NONE):
+        with pytest.raises(NotImplementedError):
+            face_pressure(mesh, fbc, p, scheme)
+    with pytest.raises(NotImplementedError):
+        face_flux(mesh, fbc, vel, VelocityInterpolation.NONE)
+    with pytest.raises(NotImplementedError):
+        pressure_gradient(mesh, fbc, p, GradientReconstruction.NONE)

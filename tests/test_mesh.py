@@ -205,3 +205,90 @@ def test_bc_table_mutation():
     np.testing.assert_allclose(table.vector[slot], [1.0, 0, 0])
     with pytest.raises(KeyError):
         table.set("NOPE", FaceCondition.WALL)
+
+
+def test_structured_fast_matches_generic():
+    """The analytic CompiledMesh construction (_structured_compile)
+    is semantically identical to the generic face-list ->
+    compile_from_arrays path: same face multiset (geometry + zones),
+    same offsets, and bit-equal dense diffusion systems."""
+    import jax.numpy as jnp
+
+    from orc_tpu.mesh.generate import (
+        _structured_box_mesh_generic,
+        structured_box_mesh,
+    )
+    from orc_tpu.ops.assembly import diffusion_system
+    from orc_tpu.ops.fields import device_bc, face_bc
+
+    cases = [
+        dict(nx=5, ny=4, nz=1),
+        dict(nx=4, ny=3, nz=3),
+        dict(nx=6, ny=5, nz=1, periodic=("x",)),
+        dict(nx=4, ny=4, nz=4, periodic=("y",)),
+        dict(nx=3, ny=4, nz=5, periodic=("x", "z")),
+        dict(nx=2, ny=7, nz=1),
+        dict(nx=1, ny=6, nz=1),
+    ]
+    for case in cases:
+        kw = dict(lengths=(1.7, 0.9, 0.4), **case)
+        mesh_f, table_f = structured_box_mesh(**kw)
+        mesh_g, table_g = _structured_box_mesh_generic(
+            case["nx"], case["ny"], case["nz"], (1.7, 0.9, 0.4),
+            (0.0, 0.0, 0.0), None, jnp.float64, case.get("periodic", ()),
+        )
+        assert table_f.codes == table_g.codes, case
+        assert mesh_f.n_cells == mesh_g.n_cells, case
+        assert mesh_f.n_faces == mesh_g.n_faces, case
+        assert set(mesh_f.neighbor_offsets) == set(
+            mesh_g.neighbor_offsets
+        ), case
+        assert (
+            mesh_f.max_faces_per_cell == mesh_g.max_faces_per_cell
+        ), case
+
+        # Face multiset: geometry + BC + interpolation data must agree
+        # (orderings differ; compare sorted canonical rows).
+        def face_rows(m):
+            cols = np.column_stack(
+                [
+                    np.asarray(m.face_centroid),
+                    np.asarray(m.face_normal),
+                    np.asarray(m.face_area)[:, None],
+                    np.asarray(m.face_zone_slot)[:, None],
+                    np.asarray(m.face_interior)[:, None],
+                    np.asarray(m.face_lw)[:, None],
+                    np.asarray(m.face_r_on),
+                    np.asarray(m.face_dist_on)[:, None],
+                    np.asarray(m.face_dist_fo)[:, None],
+                    np.asarray(m.face_owner)[:, None],
+                    np.asarray(m.face_neighbor)[:, None],
+                ]
+            )
+            return cols[np.lexsort(cols.T[::-1])]
+
+        np.testing.assert_allclose(
+            face_rows(mesh_f), face_rows(mesh_g), atol=1e-12,
+            err_msg=str(case),
+        )
+
+        # Dense diffusion matrices (diag + scattered off) identical:
+        # the ultimate check that the ELL tables encode the same
+        # operator regardless of column placement.
+        def dense_diffusion(mesh, table):
+            zc, zs, zv = device_bc(table, mesh.dtype)
+            fbc = face_bc(mesh, zc, zs, zv)
+            d = diffusion_system(mesh, fbc, jnp.asarray(1.0))
+            C = mesh.n_cells
+            M = np.zeros((C, C))
+            M[np.arange(C), np.arange(C)] = np.asarray(d.diag)
+            nb = np.asarray(mesh.cell_neighbors)
+            off = np.asarray(d.off)
+            for kk in range(nb.shape[1]):
+                np.add.at(M, (np.arange(C), nb[:, kk]), off[:, kk])
+            return M, np.asarray(d.b)
+
+        Mf, bf = dense_diffusion(mesh_f, table_f)
+        Mg, bg = dense_diffusion(mesh_g, table_g)
+        np.testing.assert_allclose(Mf, Mg, atol=1e-13, err_msg=str(case))
+        np.testing.assert_allclose(bf, bg, atol=1e-13, err_msg=str(case))
