@@ -81,16 +81,20 @@ class EllMatrix:
 
 import os as _os
 
-#: Pallas halo-window kernel for large structured f32 SpMVs — ON by
-#: default on TPU (ORC_TPU_PALLAS_SPMV=0 disables). Re-measured with
-#: the hardened scan-slope timing (round 2, scripts/bench_pallas_spmv):
-#: it beats the XLA shift path on every case tried — 1M-cell 3D 695 vs
-#: 659 GB/s, 1024^2 f32 1095 vs 901, 2048^2 1169 vs 1055 (single x
-#: read via VMEM halo windows vs XLA's per-offset rolls). f64 cannot
-#: use it (XLA's x64-emulation rewrite rejects custom calls), nor can
-#: batched [3,C] momentum solves; the [C] pressure solve — the
-#: dominant cost — qualifies.
-_PALLAS_SPMV = _os.environ.get("ORC_TPU_PALLAS_SPMV", "1") == "1"
+#: Pallas halo-window kernel for large structured f32 SpMVs — opt-in
+#: (ORC_TPU_PALLAS_SPMV=1). Measured story (round 2, hardened
+#: scan-slope timing): in ISOLATION it beats the XLA shift path on
+#: every case tried (1M-cell 3D 695 vs 659 GB/s; 1024^2 f32 1095 vs
+#: 901; 2048^2 1169 vs 1055 — single x read via VMEM halo windows vs
+#: per-offset rolls). IN CONTEXT it loses: a pallas_call is a fusion
+#: barrier, so the BiCGSTAB axpys/dots that XLA otherwise fuses into
+#: the SpMV materialize separately — measured 462 vs 326 ms per SIMPLE
+#: iteration at 9.4M cells (scripts/bench_cavity.py A/B). Default off
+#: until the kernel grows to cover the fused neighborhood (the
+#: fused-assembly+SpMV design in NOTES.md). f64 cannot use it (XLA's
+#: x64-emulation rewrite rejects custom calls), nor can batched [3,C]
+#: momentum solves.
+_PALLAS_SPMV = _os.environ.get("ORC_TPU_PALLAS_SPMV", "0") == "1"
 _PALLAS_MIN_CELLS = 262144
 
 
