@@ -73,6 +73,16 @@ class CompiledMesh:
     neighbor_offsets: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # Per-ELL-column geometry constants for UNIFORM structured boxes
+    # (set by mesh.generate._structured_compile): a tuple of K entries
+    # (area, n_out(3), dist_fo, dist_on_int, zone_slot_boundary), all
+    # plain floats/ints (hashable -> static). When present, the
+    # (c,k)-geometry expansion collapses to two boolean masks plus
+    # these constants (ops/ck_ops.UniformCKGeometry) — ~20x less
+    # static HBM than the expanded arrays.
+    ck_constants: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
     # Optional vertex-interpolation tables for node-based Green-Gauss
     # (mesh/nodes.py); built on request since they need the raw
     # face-node topology the compiled mesh otherwise discards.

@@ -406,21 +406,25 @@ def _structured_compile(
             fdn = base[a] + ((i_a - 1) % n_a) * pa + of_c
             col_specs.append(
                 (s_a, dict(face=fup, mask=i_a < n_a - 1, sign=1.0,
-                           nbr=idx + s_a))
+                           nbr=idx + s_a, axis=a, dir=1,
+                           wrap_or_per=True))
             )
             col_specs.append(
                 (-s_a, dict(face=fdn, mask=i_a > 0, sign=-1.0,
-                            nbr=idx - s_a))
+                            nbr=idx - s_a, axis=a, dir=-1,
+                            wrap_or_per=True))
             )
             w = s_a * (n_a - 1)
             fw = base[a] + (n_a - 1) * pa + of_c
             col_specs.append(
                 (-w, dict(face=fw, mask=i_a == n_a - 1, sign=1.0,
-                          nbr=idx - w))
+                          nbr=idx - w, axis=a, dir=1,
+                          wrap_or_per=True))
             )
             col_specs.append(
                 (w, dict(face=fw, mask=i_a == 0, sign=-1.0,
-                         nbr=idx + w))
+                         nbr=idx + w, axis=a, dir=-1,
+                         wrap_or_per=True))
             )
         else:
             fup = base[a] + (i_a + 1) * pa + of_c
@@ -430,13 +434,15 @@ def _structured_compile(
             col_specs.append(
                 (s_a, dict(face=fup, mask=None, sign=1.0,
                            nbr=np.where(hi, idx, idx + s_a),
-                           interior=~hi))
+                           interior=~hi, axis=a, dir=1,
+                           wrap_or_per=False))
             )
             col_specs.append(
                 (-s_a, dict(face=fdn, mask=None,
                             sign=np.where(lo, 1.0, -1.0),
                             nbr=np.where(lo, idx, idx - s_a),
-                            interior=~lo))
+                            interior=~lo, axis=a, dir=-1,
+                            wrap_or_per=False))
             )
 
     col_specs.sort(key=lambda t: t[0])
@@ -455,15 +461,68 @@ def _structured_compile(
             m & spec.get("interior", m), spec["nbr"], idx
         )
         cell_nbrs[:, kcol] = nbr_col
+    # Per-column geometry constants (UniformCKGeometry): valid when
+    # every column has a fixed axis/direction/boundary-zone across all
+    # rows. Structural columns always do; leftover (1-cell-axis)
+    # boundary columns do only when the free-column pattern is
+    # row-independent — i.e. no periodic axes alongside leftovers.
+    col_const = [None] * K
+    for kcol, (delta, spec) in enumerate(col_specs):
+        a = spec["axis"]
+        d = spec["dir"]
+        nvec = [0.0, 0.0, 0.0]
+        nvec[a] = float(d)
+        bnd_slot = (
+            int_slot
+            if spec["wrap_or_per"]
+            else (slot[3 + 2 * a] if d > 0 else slot[2 + 2 * a])
+        )
+        col_const[kcol] = (
+            float(np.prod([h[b] for b in range(3) if b != a])),
+            tuple(nvec),
+            0.5 * h[a],
+            float(h[a]),
+            int(bnd_slot),
+        )
     used = cell_mask.copy()
-    for lo_face, hi_face in leftovers:
-        for bface in (lo_face, hi_face):
+    leftover_cols = []
+    for a_left, (lo_face, hi_face) in zip(
+        [a for a in range(3) if dims[a] == 1 and a not in per_axes],
+        leftovers,
+    ):
+        for bface, d in ((lo_face, -1.0), (hi_face, 1.0)):
             kfree = np.argmax(~used, axis=1)
             rows = idx
             cell_faces[rows, kfree] = bface
             cell_mask[rows, kfree] = True
             cell_sign[rows, kfree] = 1.0
             used[rows, kfree] = True
+            if not per_axes:
+                kc = int(kfree[0])
+                nvec = [0.0, 0.0, 0.0]
+                nvec[a_left] = d
+                col_const[kc] = (
+                    float(
+                        np.prod([h[b] for b in range(3) if b != a_left])
+                    ),
+                    tuple(nvec),
+                    0.5 * h[a_left],
+                    float(h[a_left]),
+                    int(
+                        slot[3 + 2 * a_left]
+                        if d > 0
+                        else slot[2 + 2 * a_left]
+                    ),
+                )
+                leftover_cols.append(kc)
+    ck_constants = None
+    # Leftover boundary faces land in per-ROW free columns when
+    # periodic wrap columns exist (row-dependent free pattern), which
+    # breaks per-column constancy — no constants in that case.
+    if not (leftovers and per_axes) and all(
+        c is not None for c in col_const
+    ):
+        ck_constants = (int(int_slot), tuple(col_const))
     offsets = tuple(int(d) for d, _ in col_specs) + (0,) * (K - n_struct)
 
     # --- cell geometry ----------------------------------------------
@@ -496,6 +555,7 @@ def _structured_compile(
         cell_neighbors=i32(cell_nbrs),
         dim=3,
         neighbor_offsets=offsets,
+        ck_constants=ck_constants,
     )
     return mesh, table
 

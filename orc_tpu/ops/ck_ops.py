@@ -74,6 +74,80 @@ class CKGeometry:
     n_zones: int = dataclasses.field(metadata=dict(static=True))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class UniformCKGeometry:
+    """CKGeometry for UNIFORM structured boxes, where every float
+    geometry quantity is constant per ELL column (mesh.ck_constants):
+    the [C,K(,3)] arrays collapse to two boolean masks plus [K]-sized
+    constants, cutting the static working set ~20x (e.g. 2.9 GB ->
+    ~120 MB at 9.4M cells f32) and, more importantly, the HBM traffic
+    of every assembly pass that streams them. The per-(c,k) arrays are
+    exposed as properties computing broadcastable select expressions —
+    XLA folds them into the consuming fusions, so they cost no memory
+    at all. Drop-in duck-type for CKGeometry consumers."""
+
+    interior: jax.Array  # [C,K] bool
+    mask: jax.Array  # [C,K] bool
+    c_area: jax.Array  # [K]
+    c_n_out: jax.Array  # [K,3] outward from c (column-constant)
+    c_dist_fo: jax.Array  # [K] |x_face - x_c|
+    c_dist_on: jax.Array  # [K] interior |x_nbr - x_c|
+    c_zone: jax.Array  # [K] i32 boundary zone slot of the column
+    int_slot: int = dataclasses.field(metadata=dict(static=True))
+    n_zones: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def area(self):
+        return jnp.where(self.mask, self.c_area, 0.0)
+
+    @property
+    def n_out(self):
+        return jnp.where(self.mask[..., None], self.c_n_out, 0.0)
+
+    @property
+    def w(self):
+        return jnp.where(
+            self.interior, jnp.asarray(0.5, self.c_area.dtype), 0.0
+        )
+
+    @property
+    def r_cf(self):
+        return jnp.where(
+            self.mask[..., None],
+            self.c_dist_fo[:, None] * self.c_n_out,
+            0.0,
+        )
+
+    @property
+    def r_on(self):
+        return jnp.where(
+            self.interior[..., None],
+            self.c_dist_on[:, None] * self.c_n_out,
+            self.r_cf,
+        )
+
+    @property
+    def dist_on(self):
+        return jnp.where(
+            self.interior,
+            self.c_dist_on,
+            jnp.where(self.mask, self.c_dist_fo, 1.0),
+        )
+
+    @property
+    def dist_fo(self):
+        return jnp.where(self.mask, self.c_dist_fo, 1.0)
+
+    @property
+    def zone_slot(self):
+        return jnp.where(
+            self.interior | ~self.mask,
+            jnp.int32(self.int_slot),
+            self.c_zone,
+        )
+
+
 @jax.jit
 def _expand_geometry(mesh: CompiledMesh):
     """Traced body of build_ck_geometry (module-level so memory probes
@@ -121,13 +195,39 @@ def _expand_geometry(mesh: CompiledMesh):
         cf,
     )
 
-def build_ck_geometry(mesh: CompiledMesh, n_zones: int) -> CKGeometry:
+@jax.jit
+def _expand_masks(mesh: CompiledMesh):
+    m = mesh.cell_face_mask
+    return take(mesh.face_interior, mesh.cell_faces) & m, m
+
+
+def build_ck_geometry(mesh: CompiledMesh, n_zones: int):
     """One-time expansion of face geometry to [C,K].
 
-    Runs ON DEVICE from the (already-resident) compact mesh arrays via
-    layout-safe gathers (ops/layout.py): these happen exactly once —
-    doing the expansion on host and uploading ~10 [C,K(,3)] arrays over
-    the tunnel cost minutes at 1M cells."""
+    Uniform structured boxes (mesh.ck_constants set by the analytic
+    generator) skip the expansion entirely: only the interior/mask
+    booleans are materialized, everything else is per-column constants
+    (UniformCKGeometry).
+
+    Otherwise runs ON DEVICE from the (already-resident) compact mesh
+    arrays via layout-safe gathers (ops/layout.py): these happen
+    exactly once — doing the expansion on host and uploading ~10
+    [C,K(,3)] arrays over the tunnel cost minutes at 1M cells."""
+    if mesh.ck_constants is not None:
+        int_slot, cols = mesh.ck_constants
+        dt = mesh.dtype
+        interior, m = _expand_masks(mesh)
+        return UniformCKGeometry(
+            interior=interior,
+            mask=m,
+            c_area=jnp.asarray([c[0] for c in cols], dt),
+            c_n_out=jnp.asarray([c[1] for c in cols], dt),
+            c_dist_fo=jnp.asarray([c[2] for c in cols], dt),
+            c_dist_on=jnp.asarray([c[3] for c in cols], dt),
+            c_zone=jnp.asarray([c[4] for c in cols], jnp.int32),
+            int_slot=int_slot,
+            n_zones=n_zones,
+        )
     area, n_out, w, r_cf, r_on, dist_on, dist_fo, interior, m, cf = (
         _expand_geometry(mesh)
     )

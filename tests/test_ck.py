@@ -199,3 +199,87 @@ def test_solve_steady_ck_flag():
     np.testing.assert_allclose(
         np.asarray(r1.vel), np.asarray(r2.vel), rtol=1e-4, atol=1e-12
     )
+
+
+@pytest.mark.parametrize(
+    "dims,per",
+    [((6, 5, 1), ()), ((4, 3, 3), ()), ((5, 4, 3), ("x",)), ((1, 6, 4), ())],
+)
+def test_uniform_ck_geometry_matches_expanded(dims, per):
+    """UniformCKGeometry (per-column constants + masks) reproduces the
+    expanded [C,K] geometry exactly on uniform boxes."""
+    import dataclasses
+
+    from orc_tpu.ops.ck_ops import UniformCKGeometry
+
+    mesh, table = structured_box_mesh(*dims, periodic=per)
+    assert mesh.ck_constants is not None
+    g_u = build_ck_geometry(mesh, len(table.zone_ids))
+    assert isinstance(g_u, UniformCKGeometry)
+    mesh_e = dataclasses.replace(mesh, ck_constants=None)
+    g_e = build_ck_geometry(mesh_e, len(table.zone_ids))
+
+    m = np.asarray(g_e.mask)
+    np.testing.assert_array_equal(np.asarray(g_u.mask), m)
+    np.testing.assert_array_equal(
+        np.asarray(g_u.interior), np.asarray(g_e.interior)
+    )
+    for name in ("area", "n_out", "w", "r_cf", "r_on", "dist_on",
+                 "dist_fo"):
+        a = np.asarray(getattr(g_u, name))
+        b = np.asarray(getattr(g_e, name))
+        np.testing.assert_allclose(
+            a, b, rtol=1e-13, atol=1e-15, err_msg=name
+        )
+    # Zone slots only matter where a real face exists.
+    zu = np.asarray(g_u.zone_slot)
+    ze = np.asarray(g_e.zone_slot)
+    np.testing.assert_array_equal(zu[m], ze[m])
+
+
+def test_uniform_ck_step_matches_expanded():
+    """A full ck SIMPLE step with the constants-based geometry matches
+    the expanded-geometry step."""
+    import dataclasses
+
+    mesh, table = make_case()
+    assert mesh.ck_constants is not None
+    settings = SCHEMES["default"]
+    zc, zs, zv = device_bc(table, mesh.dtype)
+    g_u = build_ck_geometry(mesh, len(table.zone_ids))
+    mesh_e = dataclasses.replace(mesh, ck_constants=None)
+    g_e = build_ck_geometry(mesh_e, len(table.zone_ids))
+    bc_u = ck_bc(g_u, zc, zs, zv)
+    bc_e = ck_bc(g_e, zc, zs, zv)
+    d_u = ck_diffusion(mesh, g_u, bc_u, jnp.asarray(MU, mesh.dtype))
+    d_e = ck_diffusion(mesh_e, g_e, bc_e, jnp.asarray(MU, mesh.dtype))
+    np.testing.assert_allclose(
+        np.asarray(d_u[0]), np.asarray(d_e[0]), rtol=1e-12
+    )
+    rng = np.random.default_rng(2)
+    state = initial_state(
+        mesh,
+        vel=rng.standard_normal((mesh.n_cells, 3)) * 1e-4,
+        p=rng.standard_normal(mesh.n_cells) * 1e-3,
+    )
+    s_u, m_u = ck_simple_step(
+        mesh, g_u, zc, zs, zv, settings, RHO, MU, d_u, state
+    )
+    s_e, m_e = ck_simple_step(
+        mesh_e, g_e, zc, zs, zv, settings, RHO, MU, d_e, state
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_u.vel), np.asarray(s_e.vel), rtol=1e-8, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_u.p), np.asarray(s_e.p), rtol=1e-8, atol=1e-14
+    )
+
+
+def test_ck_constants_gating():
+    """2D-periodic boxes put leftover z-faces in per-row columns, so
+    they must NOT carry per-column constants; 3D-periodic and plain
+    boxes must."""
+    assert structured_box_mesh(6, 5, 1, periodic=("x",))[0].ck_constants is None
+    assert structured_box_mesh(6, 5, 1)[0].ck_constants is not None
+    assert structured_box_mesh(5, 4, 3, periodic=("x",))[0].ck_constants is not None
