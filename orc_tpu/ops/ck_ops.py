@@ -246,10 +246,15 @@ def build_ck_geometry(mesh: CompiledMesh, n_zones: int):
     )
 
 
-def nbr_values(mesh: CompiledMesh, x):
+def nbr_values(mesh: CompiledMesh, x, interior=None):
     """Neighbor-cell values [C,K(,d)] — shifts when structured, one
     gather otherwise. Boundary/padded slots return the cell's own value
-    (consistent with the self-index convention)."""
+    (consistent with the self-index convention).
+
+    Pass the precomputed `interior` mask (CKGeometry.interior) when
+    available: it keeps `mesh.cell_faces` out of the traced graph, so
+    the [C,K] table is pruned from the executable's arguments (less
+    per-dispatch layout normalization of big buffers)."""
     if mesh.neighbor_offsets is not None:
         cols = []
         for d in mesh.neighbor_offsets:
@@ -257,7 +262,11 @@ def nbr_values(mesh: CompiledMesh, x):
         out = jnp.stack(cols, axis=1)  # [C,K,...]
         # Rows whose slot is not a real interior neighbor must fall back
         # to the cell's own value (rolled values there are arbitrary).
-        interior = take(mesh.face_interior, mesh.cell_faces) & mesh.cell_face_mask
+        if interior is None:
+            interior = (
+                take(mesh.face_interior, mesh.cell_faces)
+                & mesh.cell_face_mask
+            )
         own = jnp.expand_dims(x, 1)
         cond = interior.reshape(interior.shape + (1,) * (x.ndim - 1))
         return jnp.where(cond, out, own)
@@ -316,7 +325,7 @@ def ck_face_pressure(
     """Face pressure per (c,k) [C,K] (face-major version:
     interpolation.face_pressure)."""
     p_c = p[:, None]
-    p_n = nbr_values(mesh, p)
+    p_n = nbr_values(mesh, p, ck.interior)
     if scheme == PressureInterpolation.LINEAR:
         interior = 0.5 * (p_c + p_n)
     elif scheme == PressureInterpolation.LINEAR_WEIGHTED:
@@ -343,7 +352,7 @@ def ck_flux(
     """Outward normal velocity per (c,k) [C,K] (face-major version:
     interpolation.face_flux; Rhie-Chow per solver.rs:1051-1095)."""
     v_c = vel[:, None, :]
-    v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel)
+    v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel, ck.interior)
     if scheme in (
         VelocityInterpolation.LINEAR,
         VelocityInterpolation.LINEAR_WEIGHTED,
@@ -356,7 +365,7 @@ def ck_flux(
     elif scheme == VelocityInterpolation.RHIE_CHOW:
         md_n = (
             mom_diag_nbr if mom_diag_nbr is not None
-            else nbr_values(mesh, mom_diag)
+            else nbr_values(mesh, mom_diag, ck.interior)
         )
         a_c = jnp.sqrt(
             jnp.sum((mom_diag[:, None, :] * ck.n_out) ** 2, axis=-1)
@@ -364,9 +373,9 @@ def ck_flux(
         a_n = jnp.sqrt(jnp.sum((md_n * ck.n_out) ** 2, axis=-1))
         vol = mesh.cell_volume
         voa_c = vol[:, None] / a_c
-        voa_n = nbr_values(mesh, vol) / a_n
-        p_n = nbr_values(mesh, p)
-        gp_n = grad_p_nbr if grad_p_nbr is not None else nbr_values(mesh, grad_p)
+        voa_n = nbr_values(mesh, vol, ck.interior) / a_n
+        p_n = nbr_values(mesh, p, ck.interior)
+        gp_n = grad_p_nbr if grad_p_nbr is not None else nbr_values(mesh, grad_p, ck.interior)
         term1 = jnp.sum((v_c + v_n) * ck.n_out, axis=-1)
         term2 = (voa_c + voa_n) * (p[:, None] - p_n) / ck.dist_on
         gsum = voa_c[..., None] * grad_p[:, None, :] + voa_n[..., None] * gp_n
@@ -404,7 +413,7 @@ def ck_lsq_pressure_gradient(mesh, ck: CKGeometry, bc: CKBC, p):
     from orc_tpu.ops.gradients import _least_squares
 
     p_c = p[:, None]
-    p_n = nbr_values(mesh, p)
+    p_n = nbr_values(mesh, p, ck.interior)
     b = jnp.where(
         ck.interior,
         p_n - p_c,
@@ -422,7 +431,7 @@ def ck_lsq_velocity_gradient(
     from orc_tpu.ops.gradients import _least_squares
 
     v_c = vel[:, None, :]
-    v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel)
+    v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel, ck.interior)
     b = jnp.where(
         ck.interior[..., None],
         v_n - v_c,
@@ -435,7 +444,7 @@ def ck_lsq_velocity_gradient(
 def ck_velocity_gradient(mesh, ck: CKGeometry, bc: CKBC, vel, vel_nbr=None):
     """Green-Gauss velocity gradient [C,3,3] (row i = grad comp i)."""
     v_c = vel[:, None, :]
-    v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel)
+    v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel, ck.interior)
     vf = jnp.where(
         bc.is_dirichlet_vel[..., None],
         bc.vector,
@@ -477,7 +486,7 @@ def ck_momentum(
     elif scheme == MomentumScheme.CD2:
         if grad_vel is None:
             raise ValueError("CD2 momentum requires grad_vel")
-        gv_n = nbr_values(mesh, grad_vel)
+        gv_n = nbr_values(mesh, grad_vel, ck.interior)
         r_nf = ck.r_cf - ck.r_on
         g_c = jnp.einsum("cij,ckj->cki", grad_vel, ck.r_cf)
         g_d = jnp.sum(gv_n * r_nf[..., None, :], axis=-1)
@@ -489,7 +498,7 @@ def ck_momentum(
             raise ValueError("TVD momentum requires tvd_psi and grad_vel")
         psi = settings.tvd_psi
         v_c = vel[:, None, :]
-        v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel)
+        v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel, ck.interior)
         downstream = jnp.where(Fv > 0, v_n, v_c)
         diffv = downstream - v_c
         same = jnp.sqrt(jnp.sum(diffv * diffv, axis=-1)) == 0.0
@@ -547,7 +556,12 @@ def ck_momentum(
     A = EllMatrix(
         diag=jnp.moveaxis(diag, -1, 0),
         off=jnp.moveaxis(off, -1, 0),
-        neighbors=mesh.cell_neighbors,
+        # Omitted on the shift path (see ck_pressure_correction).
+        neighbors=(
+            None
+            if mesh.neighbor_offsets is not None
+            else mesh.cell_neighbors
+        ),
         offsets=mesh.neighbor_offsets,
     )
     return A, jnp.moveaxis(b, -1, 0), pe
@@ -561,7 +575,7 @@ def ck_pressure_correction(
     b = jnp.sum(jnp.where(ck.mask, -F2, 0.0), axis=1)
     md_n = (
         mom_diag_nbr if mom_diag_nbr is not None
-        else nbr_values(mesh, mom_diag)
+        else nbr_values(mesh, mom_diag, ck.interior)
     )
     a_c = jnp.sqrt(jnp.sum((mom_diag[:, None, :] * ck.n_out) ** 2, axis=-1))
     a_face = 0.5 * jnp.sqrt(
@@ -580,7 +594,14 @@ def ck_pressure_correction(
         EllMatrix(
             diag=diag,
             off=off,
-            neighbors=mesh.cell_neighbors,
+            # The shift path never reads `neighbors`; omitting it for
+            # structured meshes prunes the [C,K] table from the jitted
+            # executable's arguments (less per-dispatch layout work).
+            neighbors=(
+                None
+                if mesh.neighbor_offsets is not None
+                else mesh.cell_neighbors
+            ),
             offsets=mesh.neighbor_offsets,
         ),
         b,
@@ -594,7 +615,7 @@ def ck_apply_correction(
     assembly.apply_pressure_correction)."""
     pp_n = jnp.where(
         ck.interior,
-        nbr_values(mesh, p_prime),
+        nbr_values(mesh, p_prime, ck.interior),
         jnp.where(bc.is_pressure, 0.0, p_prime[:, None]),
     )
     scaled_n = ck.n_out / mom_diag[:, None, :]

@@ -329,7 +329,7 @@ def ck_simple_step(
     mom_diag = comm.refresh(state.mom_diag)
     active = ck.mask.any(axis=1)
 
-    vel_nbr = nbr_values(mesh, vel)
+    vel_nbr = nbr_values(mesh, vel, ck.interior)
     need_gp = _needs_grad_p(settings)
     from orc_tpu.ops.ck_ops import (
         ck_lsq_pressure_gradient,
@@ -345,14 +345,14 @@ def ck_simple_step(
     if need_gp:
         gp_fn = ck_lsq_pressure_gradient if lsq else ck_pressure_gradient
         grad_p = comm.refresh(gp_fn(mesh, ck, bc, p))
-        grad_p_nbr = nbr_values(mesh, grad_p)
+        grad_p_nbr = nbr_values(mesh, grad_p, ck.interior)
     gv_fn = ck_lsq_velocity_gradient if lsq else ck_velocity_gradient
     grad_v = (
         comm.refresh(gv_fn(mesh, ck, bc, vel, vel_nbr=vel_nbr))
         if settings.momentum in (MomentumScheme.TVD, MomentumScheme.CD2)
         else None
     )
-    mom_diag_nbr = nbr_values(mesh, mom_diag)
+    mom_diag_nbr = nbr_values(mesh, mom_diag, ck.interior)
 
     flux = ck_flux(
         mesh, ck, bc, vel, settings.velocity_interpolation,
@@ -388,8 +388,8 @@ def ck_simple_step(
     sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
     new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
     new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
-    new_md_nbr = nbr_values(mesh, new_mom_diag)
-    new_vel_nbr = nbr_values(mesh, new_vel)
+    new_md_nbr = nbr_values(mesh, new_mom_diag, ck.interior)
+    new_vel_nbr = nbr_values(mesh, new_vel, ck.interior)
 
     flux2 = ck_flux(
         mesh, ck, bc, new_vel, settings.velocity_interpolation,

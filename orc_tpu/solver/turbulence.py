@@ -141,7 +141,14 @@ def ck_scalar_system(
         EllMatrix(
             diag=diag,
             off=off,
-            neighbors=mesh.cell_neighbors,
+            # The shift path never reads `neighbors`; omitting it for
+            # structured meshes prunes the [C,K] table from the jitted
+            # executable's arguments (less per-dispatch layout work).
+            neighbors=(
+                None
+                if mesh.neighbor_offsets is not None
+                else mesh.cell_neighbors
+            ),
             offsets=mesh.neighbor_offsets,
         ),
         b,
@@ -157,7 +164,7 @@ def turbulence_step(
     from orc_tpu.ops.ck_ops import ck_flux
     from orc_tpu.utils.settings import VelocityInterpolation
 
-    vel_nbr = nbr_values(mesh, flow.vel)
+    vel_nbr = nbr_values(mesh, flow.vel, ck.interior)
     grad_v = ck_velocity_gradient(mesh, ck, bc, flow.vel, vel_nbr=vel_nbr)
     flux = ck_flux(
         mesh, ck, bc, flow.vel, VelocityInterpolation.LINEAR_WEIGHTED,
@@ -170,7 +177,7 @@ def turbulence_step(
     k = jnp.maximum(turb.k, 1e-30)
     eps = jnp.maximum(turb.eps, 1e-30)
     mu_t = turb.mu_t
-    mu_t_f = mu + 0.5 * (mu_t[:, None] + nbr_values(mesh, mu_t))
+    mu_t_f = mu + 0.5 * (mu_t[:, None] + nbr_values(mesh, mu_t, ck.interior))
 
     # Production: interior P_k = mu_t S^2; wall-adjacent cells use the
     # equilibrium wall-function form tau_w * u_star / (kappa y_p).
@@ -259,7 +266,7 @@ def solve_steady_turbulent(
     def step(carry, _):
         flow, tb = carry
         # Effective viscosity field for momentum diffusion.
-        mu_t_f = 0.5 * (tb.mu_t[:, None] + nbr_values(mesh, tb.mu_t))
+        mu_t_f = 0.5 * (tb.mu_t[:, None] + nbr_values(mesh, tb.mu_t, ckg.interior))
         mu_w = wall_viscosity(tb.k, y_p, has_wall, rho, mu)
         gamma = jnp.where(
             ckg.interior,
