@@ -21,11 +21,21 @@ def print_vec_scientific(v):
 
 
 def ell_to_string(A, max_dense_cols: int = 16) -> str:
-    """Render an EllMatrix; dense layout below `max_dense_cols`."""
+    """Render an EllMatrix; dense layout below `max_dense_cols`.
+
+    Structured-mesh matrices may omit `neighbors` (the shift-SpMV path
+    never reads it); the column targets are reconstructed from the
+    static offsets, clipped to in-range rows (out-of-range rolls carry
+    zero coefficients by the EllMatrix.offsets contract)."""
     diag = np.asarray(A.diag)
     off = np.asarray(A.off)
-    nbr = np.asarray(A.neighbors)
     n = diag.shape[-1]
+    if A.neighbors is not None:
+        nbr = np.asarray(A.neighbors)
+    else:
+        idx = np.arange(n)[:, None]
+        deltas = np.asarray(A.offsets, dtype=np.int64)[None, :]
+        nbr = np.clip(idx + deltas, 0, n - 1)
     rows = []
     if n < max_dense_cols:
         dense = np.zeros((n, n))

@@ -127,10 +127,13 @@ def _structured_box_mesh_generic(
     cc[flat, 2] = (oz + (k.ravel() + 0.5) * hz)
     vol = np.full(C, hx * hy * hz)
 
-    # Zone table: 0 interior, 1..6 boundaries.
+    # Zone table: 0 interior, 1..6 boundaries. Periodic axes follow the
+    # TGRID-writer convention: high plane = PERIODIC (code 12), low
+    # plane = PERIODIC_SHADOW (code 8) — matching write_tgrid so the
+    # analytic and round-tripped tables agree.
     def zone_type(axis):
         return (
-            (FaceCondition.PERIODIC, FaceCondition.PERIODIC_SHADOW)
+            (FaceCondition.PERIODIC_SHADOW, FaceCondition.PERIODIC)
             if axis in per_axes
             else (FaceCondition.WALL, FaceCondition.WALL)
         )
@@ -239,14 +242,15 @@ def _structured_box_mesh_generic(
 
 def _box_zone_table(names, per_axes):
     """Zone table shared by both structured constructions: 1 interior,
-    2..7 the axis boundary pairs (retyped PERIODIC/PERIODIC_SHADOW on
-    periodic axes)."""
+    2..7 the axis boundary pairs. Periodic axes follow the TGRID-writer
+    convention (high plane = PERIODIC code 12, low = PERIODIC_SHADOW
+    code 8) so analytic and round-tripped tables agree."""
     zones = {1: FaceZone(1, FaceCondition.INTERIOR, names["interior"])}
     for axis, (lo_key, hi_key) in enumerate(
         (("x-", "x+"), ("y-", "y+"), ("z-", "z+"))
     ):
         lo_t, hi_t = (
-            (FaceCondition.PERIODIC, FaceCondition.PERIODIC_SHADOW)
+            (FaceCondition.PERIODIC_SHADOW, FaceCondition.PERIODIC)
             if axis in per_axes
             else (FaceCondition.WALL, FaceCondition.WALL)
         )
@@ -485,7 +489,6 @@ def _structured_compile(
             int(bnd_slot),
         )
     used = cell_mask.copy()
-    leftover_cols = []
     for a_left, (lo_face, hi_face) in zip(
         [a for a in range(3) if dims[a] == 1 and a not in per_axes],
         leftovers,
@@ -514,7 +517,6 @@ def _structured_compile(
                         else slot[2 + 2 * a_left]
                     ),
                 )
-                leftover_cols.append(kc)
     ck_constants = None
     # Leftover boundary faces land in per-ROW free columns when
     # periodic wrap columns exist (row-dependent free pattern), which

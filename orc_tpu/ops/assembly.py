@@ -40,18 +40,21 @@ class DiffusionSystem(NamedTuple):
 
 
 def _gathered(mesh: CompiledMesh, fbc: FaceBC):
-    """Common per-(c,k) gathers. BC code comes from the zone tables via
-    FaceBC.ck (never through the per-face arrays — see FaceBC)."""
+    """Common per-(c,k) gathers. BC data comes from the zone tables via
+    FaceBC.ck (never through the per-face arrays — see FaceBC), built
+    ONCE here and threaded to the callers (each fbc.ck call re-traces
+    the Z-way [C,K(,3)] where-chain; XLA CSEs the duplicates but the
+    traced graph bloats at multi-million cells)."""
     cf = mesh.cell_faces
     m = mesh.cell_face_mask
-    code = fbc.ck(mesh)[0]
+    code, scalar, vector = fbc.ck(mesh)
     area = take(mesh.face_area, cf)
     interior = take(mesh.face_interior, cf) & m
-    return cf, m, code, area, interior
+    return cf, m, (code, scalar, vector), area, interior
 
 
 def diffusion_system(mesh: CompiledMesh, fbc: FaceBC, mu) -> DiffusionSystem:
-    cf, m, code, area, interior = _gathered(mesh, fbc)
+    cf, m, (code, _, bc_vec), area, interior = _gathered(mesh, fbc)
     # Dirichlet-velocity boundaries contribute d = mu A / |x_f - x_c|
     # plus a source d * v_bc; zero-gradient boundaries (pressure BCs,
     # symmetry) contribute nothing (discretization.rs:69-118).
@@ -62,7 +65,7 @@ def diffusion_system(mesh: CompiledMesh, fbc: FaceBC, mu) -> DiffusionSystem:
     diag = jnp.sum(d, axis=1)
     off = jnp.where(interior, -d, 0.0)
     b = jnp.sum(
-        jnp.where(dirichlet[..., None], d[..., None] * fbc.ck(mesh)[2], 0.0),
+        jnp.where(dirichlet[..., None], d[..., None] * bc_vec, 0.0),
         axis=1,
     )
     return DiffusionSystem(diag=diag, off=off, b=b)
@@ -89,7 +92,7 @@ def momentum_system(
     Returns (EllMatrix with batch dim 3 ordered [u,v,w], b [3,C],
     per-cell Peclet array).
     """
-    cf, m, code, area, interior = _gathered(mesh, fbc)
+    cf, m, (code, _, bc_vec), area, interior = _gathered(mesh, fbc)
     sgn = mesh.cell_face_sign
     F = sgn * take(flux, cf) * area * rho  # mass flow out of c through slot k
     Fv = F[..., None]  # broadcast over components
@@ -180,7 +183,7 @@ def momentum_system(
     dirichlet = ((code == WALL) | (code == VELOCITY_INLET)) & m & ~interior
     s_u = s_u + jnp.sum(
         jnp.where(
-            dirichlet[..., None], (a_nb - Fv) * fbc.ck(mesh)[2], 0.0
+            dirichlet[..., None], (a_nb - Fv) * bc_vec, 0.0
         ),
         axis=1,
     )
@@ -254,7 +257,7 @@ def pressure_correction_system(
     rho A^2 / a_cell / 2 to the diagonal (the reference's admitted
     guess, discretization.rs:434-435 — kept for behavioral parity).
     """
-    cf, m, code, area, interior = _gathered(mesh, fbc)
+    cf, m, (code, _, _), area, interior = _gathered(mesh, fbc)
     sgn = mesh.cell_face_sign
     b = jnp.sum(jnp.where(m, -sgn * take(flux, cf) * area * rho, 0.0), axis=1)
 
@@ -294,7 +297,7 @@ def apply_pressure_correction(
 ):
     """SIMPLE update (reference: solver.rs:1169-1227): p += alpha_p p';
     u += alpha_u * sum_f n_out/a_diag (p'_c - p'_nb) A."""
-    cf, m, code, area, interior = _gathered(mesh, fbc)
+    cf, m, (code, _, _), area, interior = _gathered(mesh, fbc)
     sgn = mesh.cell_face_sign
     p_pr_nb = jnp.where(
         interior,

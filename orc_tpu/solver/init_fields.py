@@ -168,13 +168,13 @@ def initialize_pressure_field(mesh: CompiledMesh, table: BoundaryTable):
     zc, zs, zv = device_bc(table, mesh.dtype)
     fbc = face_bc(mesh, zc, zs, zv)
     cf, m = mesh.cell_faces, mesh.cell_face_mask
-    code = fbc.ck(mesh)[0]
+    code, bc_scalar, _ = fbc.ck(mesh)
     interior = take(mesh.face_interior, cf) & m
     a_int, a_bnd = _laplace_coeffs(mesh)
 
     is_pbc = ((code == PRESSURE_INLET) | (code == PRESSURE_OUTLET)) & m
     a = jnp.where(interior, a_int, jnp.where(is_pbc, a_bnd, 0.0))
-    b = jnp.sum(jnp.where(is_pbc, a_bnd * fbc.ck(mesh)[1], 0.0), axis=1)
+    b = jnp.sum(jnp.where(is_pbc, a_bnd * bc_scalar, 0.0), axis=1)
     A = EllMatrix(
         diag=jnp.sum(a, axis=1),
         off=jnp.where(interior, -a_int, 0.0),
@@ -192,7 +192,7 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
     zc, zs, zv = device_bc(table, mesh.dtype)
     fbc = face_bc(mesh, zc, zs, zv)
     cf, m = mesh.cell_faces, mesh.cell_face_mask
-    code = fbc.ck(mesh)[0]
+    code, _, bc_vec = fbc.ck(mesh)
     interior = take(mesh.face_interior, cf) & m
     a_int, a_bnd = _laplace_coeffs(mesh)
     n_out = mesh.cell_face_sign[..., None] * take(mesh.face_normal, cf)
@@ -206,7 +206,7 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
     av = take(mesh.face_area, cf) / mesh.cell_volume[:, None]
     src = jnp.where(
         is_vin,
-        -jnp.einsum("cki,cki->ck", fbc.ck(mesh)[2], n_out) * av,
+        -jnp.einsum("cki,cki->ck", bc_vec, n_out) * av,
         0.0,
     )
     b = jnp.sum(src, axis=1)

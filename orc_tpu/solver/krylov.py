@@ -77,6 +77,13 @@ def _reducers(compensated: bool):
     """(dot, norm) pair: plain f-width or compensated (f64-accumulated
     for f32 systems; identical for f64 systems)."""
     if compensated:
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "compensated_f32 needs double-width accumulation, but "
+                "JAX x64 is disabled (ORC_TPU_X64=0): astype(float64) "
+                "would silently stay float32 and the flag would be a "
+                "no-op. Re-enable x64 or drop compensated_f32."
+            )
         return _dot_comp, _norm_comp
     return _dot, _norm
 

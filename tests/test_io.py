@@ -198,3 +198,28 @@ def test_vtk_solution_write(tmp_path):
     assert data["pressure"].shape == (mesh.n_cells,)
     with pytest.raises(ValueError, match="entries for"):
         write_vtk(str(tmp_path / "bad.vtk"), str(msh), {"x": np.zeros(5)})
+
+
+def test_debug_dump_structured_no_neighbors():
+    """ell_to_string handles structured matrices that omit `neighbors`
+    (the shift path's EllMatrices carry None since round 2)."""
+    import jax.numpy as jnp
+
+    from orc_tpu.io.debug import ell_to_string, linear_system_to_string
+    from orc_tpu.mesh.generate import structured_box_mesh
+    from orc_tpu.ops.ck_ops import build_ck_geometry, ck_bc, ck_diffusion
+    from orc_tpu.ops.fields import device_bc
+    from orc_tpu.ops.spmv import EllMatrix
+
+    mesh, table = structured_box_mesh(3, 3, 1)
+    zc, zs, zv = device_bc(table, mesh.dtype)
+    ck = build_ck_geometry(mesh, len(table.zone_ids))
+    bc = ck_bc(ck, zc, zs, zv)
+    dd, doff, _ = ck_diffusion(mesh, ck, bc, jnp.asarray(1.0, mesh.dtype))
+    A = EllMatrix(
+        diag=dd, off=doff, neighbors=None, offsets=mesh.neighbor_offsets
+    )
+    s = ell_to_string(A)
+    assert s.count("\n") == mesh.n_cells - 1
+    s2 = linear_system_to_string(A, jnp.ones(mesh.n_cells), max_dense_cols=4)
+    assert "|" in s2
