@@ -66,6 +66,10 @@ _BC_TYPES = {
     "pressure_outlet": FaceCondition.PRESSURE_OUTLET,
     "symmetry": FaceCondition.SYMMETRY,
     "velocity_inlet": FaceCondition.VELOCITY_INLET,
+    # Periodic pairs are merged into interior faces at mesh compile;
+    # the types remain settable for bookkeeping/round-trip fidelity.
+    "periodic": FaceCondition.PERIODIC,
+    "periodic_shadow": FaceCondition.PERIODIC_SHADOW,
 }
 
 _MOMENTUM = {
@@ -92,6 +96,10 @@ class Case:
     vtk_file: Optional[str]
     rho: float
     mu: float
+    # Constant body force per unit volume [fx, fy, fz] (None = off);
+    # becomes a momentum_source closure over the mesh cell volumes in
+    # build_problem. Drives streamwise-periodic channels.
+    body_force: Optional[Tuple[float, float, float]]
     settings: NumericalSettings
     boundaries: Dict[str, dict]
     devices: Any  # int | "all"
@@ -142,6 +150,7 @@ def parse_case(text: str) -> Case:
             sol.get("multigrid_restriction", "strongest"),
             "restriction",
         ),
+        compensated_f32=bool(sol.get("compensated_f32", False)),
     )
     settings = NumericalSettings(
         momentum=momentum,
@@ -189,6 +198,11 @@ def parse_case(text: str) -> Case:
         vtk_file=case.get("vtk_file"),
         rho=float(fluid.get("rho", 1000.0)),
         mu=float(fluid.get("mu", 0.001)),
+        body_force=(
+            tuple(float(c) for c in fluid["body_force"])
+            if "body_force" in fluid
+            else None
+        ),
         settings=settings,
         boundaries=doc.get("boundaries", {}),
         devices=run.get("devices", 1),
@@ -225,6 +239,7 @@ def build_problem(case: Case):
             int(g.get("ny", 8)),
             int(g.get("nz", 1)),
             lengths=tuple(g.get("lengths", (1.0, 1.0, 1.0))),
+            periodic=tuple(g.get("periodic", ())),
         )
     for name, spec in case.boundaries.items():
         kind = _enum_of(_BC_TYPES, spec.get("type", "wall"), "BC type")
@@ -233,6 +248,18 @@ def build_problem(case: Case):
             kind,
             scalar_value=spec.get("pressure"),
             vector_value=spec.get("velocity"),
+        )
+    if case.body_force is not None:
+        import jax.numpy as jnp
+
+        f = jnp.asarray(case.body_force, mesh.dtype)
+        vol = mesh.cell_volume
+
+        def momentum_source(cc, _f=f, _v=vol):
+            return _f[None, :] * _v[:, None]
+
+        case.settings = case.settings.replace(
+            momentum_source=momentum_source
         )
     return mesh, table
 
@@ -258,10 +285,14 @@ checkpoint_file = "out/checkpoint.npz"
 # ny = 64
 # nz = 1
 # lengths = [0.002, 0.001, 0.0001]
+# periodic = ["x"]          # translationally-periodic axes (wrap faces)
 
 [fluid]
 rho = 1000.0
 mu = 0.001
+# Constant body force per unit volume — the standard driver for
+# streamwise-periodic channels:
+# body_force = [1.0, 0.0, 0.0]
 
 [numerics]
 momentum = "cd1"                      # ud | cd1 | tvd_lud | tvd_quick | tvd_umist
@@ -278,6 +309,7 @@ iterations = 50
 relaxation = 0.5
 convergence = 1e-3
 preconditioner = "jacobi"             # none | jacobi
+# compensated_f32 = true              # f64-accumulated reductions for f32 runs
 
 [boundaries.TOP_WALL]
 type = "wall"
@@ -304,7 +336,7 @@ type = "symmetry"
 devices = 1                           # or "all" for a sharded run
 
 # Uncomment for a RANS run with the standard k-epsilon model
-# (EXPERIMENTAL):
+# (validated vs the Re_tau=590 DNS, tests/test_turbulence.py):
 # [turbulence]
 # model = "k_epsilon"
 # intensity = 0.05

@@ -187,3 +187,66 @@ def test_example_cases_parse_and_build(example):
     mesh, table = build_problem(case)
     assert mesh.n_cells > 0
     table.validate_supported()
+
+
+def test_case_periodic_body_force(tmp_path):
+    """A TOML case can express the body-force-driven periodic channel:
+    generate-with-periodic + fluid.body_force -> Poiseuille."""
+    from orc_tpu.utils.config import build_problem, parse_case
+
+    case = parse_case(
+        """
+[case]
+iterations = 500
+reporting_interval = 250
+
+[case.generate]
+nx = 8
+ny = 16
+nz = 1
+lengths = [2.0, 1.0, 0.1]
+periodic = ["x"]
+
+[fluid]
+rho = 1.0
+mu = 0.1
+body_force = [1.0, 0.0, 0.0]
+
+[numerics]
+momentum = "ud"
+pressure_interpolation = "linear_weighted"
+velocity_interpolation = "rhie_chow"
+pressure_relaxation = 0.01
+
+[numerics.solver]
+type = "bicgstab"
+iterations = 30
+
+[boundaries.TOP_WALL]
+type = "wall"
+
+[boundaries.BOTTOM_WALL]
+type = "wall"
+
+[boundaries."PERIODIC_-Z"]
+type = "symmetry"
+
+[boundaries."PERIODIC_+Z"]
+type = "symmetry"
+"""
+    )
+    assert case.body_force == (1.0, 0.0, 0.0)
+    mesh, table = build_problem(case)
+    assert case.settings.momentum_source is not None
+    from orc_tpu.solver.simple import initial_state, solve_steady
+
+    state, _ = solve_steady(
+        mesh, table, case.settings, case.rho, case.mu,
+        state=initial_state(mesh), iterations=case.iterations,
+        reporting_interval=case.reporting_interval, verbose=False,
+    )
+    u = np.asarray(state.vel)[:, 0].reshape(16, 8)
+    y = (np.arange(16) + 0.5) / 16
+    u_exact = 1.0 / (2 * 0.1) * y * (1 - y)
+    err = np.abs(u.mean(axis=1) - u_exact).max() / u_exact.max()
+    assert err < 5e-3, err
