@@ -78,15 +78,13 @@ def cmd_run(args):
         len(jax.devices()) if case.devices == "all" else int(case.devices)
     )
     if case.turbulence:
-        from orc_tpu.solver.turbulence import solve_steady_turbulent
+        from orc_tpu.solver.turbulence import (
+            solve_steady_turbulent,
+            solve_steady_turbulent_sharded,
+        )
 
         tb = case.turbulence
-        state, turb, history = solve_steady_turbulent(
-            mesh,
-            table,
-            case.settings,
-            case.rho,
-            case.mu,
+        kw = dict(
             u_ref=float(tb.get("u_ref", 1.0)),
             iterations=case.iterations,
             reporting_interval=case.reporting_interval,
@@ -94,6 +92,15 @@ def cmd_run(args):
             length_scale=float(tb.get("length_scale", 0.1)),
             state=state,
         )
+        if n_dev > 1:
+            state, turb, history = solve_steady_turbulent_sharded(
+                mesh, table, case.settings, case.rho, case.mu,
+                n_devices=n_dev, **kw,
+            )
+        else:
+            state, turb, history = solve_steady_turbulent(
+                mesh, table, case.settings, case.rho, case.mu, **kw
+            )
     elif case.time:
         from orc_tpu.solver.transient import solve_transient
 

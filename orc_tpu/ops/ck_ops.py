@@ -528,7 +528,17 @@ def ck_momentum(
     )
     s_u = s_u + s_dc
     if settings.momentum_source is not None:
-        s_u = s_u + settings.momentum_source(mesh.cell_centroid)
+        import inspect
+
+        src = settings.momentum_source
+        # Two-arg sources f(centroids, volumes) integrate per-cell
+        # volume themselves from LOCAL arrays — required under
+        # shard_map, where a closure over global volumes would
+        # shape-mismatch the local block.
+        if len(inspect.signature(src).parameters) >= 2:
+            s_u = s_u + src(mesh.cell_centroid, mesh.cell_volume)
+        else:
+            s_u = s_u + src(mesh.cell_centroid)
 
     off = jnp.where(ck.interior[..., None], a_nb + diff_off[..., None], 0.0)
     active = ck.mask.any(axis=1)

@@ -73,8 +73,9 @@ class ShardedComm:
         return lax.pmax(v, AXIS)
 
 
-def scatter_state(partition: Partition, state: FlowState) -> FlowState:
-    """Global FlowState [C] -> stacked local [P, L] (host-side)."""
+def scatter_tree(partition: Partition, tree):
+    """Any pytree of global [C,...] arrays -> stacked local [P, L, ...]
+    (host-side)."""
     og = np.asarray(partition.owned_global, dtype=np.int64)
     om = np.asarray(partition.owned_mask)
     Pn, L = og.shape
@@ -85,13 +86,12 @@ def scatter_state(partition: Partition, state: FlowState) -> FlowState:
         out[om] = arr[og[om]]
         return jnp.asarray(out)
 
-    return FlowState(
-        vel=sc(state.vel), p=sc(state.p), mom_diag=sc(state.mom_diag)
-    )
+    return jax.tree.map(sc, tree)
 
 
-def gather_state(partition: Partition, local: FlowState, n_cells: int) -> FlowState:
-    """Stacked local [P, L] -> global FlowState [C] (host-side)."""
+def gather_tree(partition: Partition, tree, n_cells: int):
+    """Pytree of stacked local [P, L, ...] arrays -> global [C, ...]
+    (host-side)."""
     og = np.asarray(partition.owned_global, dtype=np.int64)
     om = np.asarray(partition.owned_mask)
 
@@ -101,9 +101,17 @@ def gather_state(partition: Partition, local: FlowState, n_cells: int) -> FlowSt
         out[og[om]] = arr[om]
         return jnp.asarray(out)
 
-    return FlowState(
-        vel=ga(local.vel), p=ga(local.p), mom_diag=ga(local.mom_diag)
-    )
+    return jax.tree.map(ga, tree)
+
+
+def scatter_state(partition: Partition, state: FlowState) -> FlowState:
+    """Global FlowState [C] -> stacked local [P, L] (host-side)."""
+    return scatter_tree(partition, state)
+
+
+def gather_state(partition: Partition, local: FlowState, n_cells: int) -> FlowState:
+    """Stacked local [P, L] -> global FlowState [C] (host-side)."""
+    return gather_tree(partition, local, n_cells)
 
 
 def make_sharded_step(

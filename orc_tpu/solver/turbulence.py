@@ -158,25 +158,31 @@ def ck_scalar_system(
 def turbulence_step(
     mesh, ck: CKGeometry, bc: CKBC, settings: NumericalSettings,
     rho, mu, flow: FlowState, turb: TurbState,
-    k_in, eps_in, relax=0.7,
+    k_in, eps_in, relax=0.7, comm=None,
 ):
-    """One k/eps update given the current flow field."""
+    """One k/eps update given the current flow field. Runs unchanged
+    under `shard_map` (like ck_simple_step): `comm.refresh` fills
+    ghost-layer slots before every neighbor shift, and the scalar
+    solves route their reductions through `comm`."""
     from orc_tpu.ops.ck_ops import ck_flux
+    from orc_tpu.solver.simple import NullComm
     from orc_tpu.utils.settings import VelocityInterpolation
 
-    vel_nbr = nbr_values(mesh, flow.vel, ck.interior)
-    grad_v = ck_velocity_gradient(mesh, ck, bc, flow.vel, vel_nbr=vel_nbr)
+    comm = comm or NullComm()
+    vel = comm.refresh(flow.vel)
+    vel_nbr = nbr_values(mesh, vel, ck.interior)
+    grad_v = ck_velocity_gradient(mesh, ck, bc, vel, vel_nbr=vel_nbr)
     flux = ck_flux(
-        mesh, ck, bc, flow.vel, VelocityInterpolation.LINEAR_WEIGHTED,
+        mesh, ck, bc, vel, VelocityInterpolation.LINEAR_WEIGHTED,
         vel_nbr=vel_nbr,
     )
     F = flux * ck.area * rho
     vol = mesh.cell_volume
     has_wall, y_p = _wall_adjacent(ck, bc)
 
-    k = jnp.maximum(turb.k, 1e-30)
-    eps = jnp.maximum(turb.eps, 1e-30)
-    mu_t = turb.mu_t
+    k = jnp.maximum(comm.refresh(turb.k), 1e-30)
+    eps = jnp.maximum(comm.refresh(turb.eps), 1e-30)
+    mu_t = comm.refresh(turb.mu_t)
     mu_t_f = mu + 0.5 * (mu_t[:, None] + nbr_values(mesh, mu_t, ck.interior))
 
     # Production: interior P_k = mu_t S^2; wall-adjacent cells use the
@@ -186,7 +192,7 @@ def turbulence_step(
     mu_w = wall_viscosity(k, y_p, has_wall, rho, mu)
     # Tangential cell velocity magnitude (wall velocity ~ 0 assumed for
     # the production estimate).
-    u_mag = jnp.sqrt(jnp.sum(flow.vel**2, axis=-1))
+    u_mag = jnp.sqrt(jnp.sum(vel**2, axis=-1))
     tau_w = mu_w * u_mag / y_p
     u_star = C_MU ** 0.25 * jnp.sqrt(k)
     p_k_wall = tau_w * u_star / (KAPPA * y_p)
@@ -200,7 +206,8 @@ def turbulence_step(
         mesh, ck, bc, F, gamma_k, diag_src_k, b_src_k, k_in
     )
     k_sol, _ = iterative_solve(
-        A_k, b_k, k, settings.matrix_solver
+        A_k, b_k, k, settings.matrix_solver,
+        axis_sum=comm.axis_sum, refresh=comm.refresh,
     )
     k_new = jnp.maximum(k + relax * (k_sol - k), 1e-30)
 
@@ -220,12 +227,46 @@ def turbulence_step(
         offsets=A_e.offsets,
     )
     b_e = jnp.where(has_wall, eps_wall, b_e)
-    e_sol, _ = iterative_solve(A_e, b_e, eps, settings.matrix_solver)
+    e_sol, _ = iterative_solve(
+        A_e, b_e, eps, settings.matrix_solver,
+        axis_sum=comm.axis_sum, refresh=comm.refresh,
+    )
     eps_new = jnp.maximum(eps + relax * (e_sol - eps), 1e-30)
 
     mu_t_new = rho * C_MU * k_new * k_new / eps_new
     mu_t_new = jnp.clip(mu_t_new, 0.0, 1e5 * mu)
     return TurbState(k=k_new, eps=eps_new, mu_t=mu_t_new), mu_w
+
+
+def rans_outer_step(
+    mesh, ckg, bc0, zc, zs, zv, settings, rho, mu,
+    k_in, eps_in, has_wall, y_p, is_wall_face, carry, comm=None,
+):
+    """One RANS outer iteration: SIMPLE step with mu_eff = mu + mu_t
+    (log-law wall viscosity on wall faces), then one k/eps update.
+    Shared by the single-device and sharded drivers (comm hooks)."""
+    from orc_tpu.solver.simple import NullComm
+
+    comm = comm or NullComm()
+    flow, tb = carry
+    mu_t = comm.refresh(tb.mu_t)
+    mu_t_f = 0.5 * (mu_t[:, None] + nbr_values(mesh, mu_t, ckg.interior))
+    mu_w = wall_viscosity(tb.k, y_p, has_wall, rho, mu)
+    gamma = jnp.where(
+        ckg.interior,
+        mu + mu_t_f,
+        jnp.where(is_wall_face, mu_w[:, None], mu + mu_t[:, None]),
+    )
+    ck_diff = ck_diffusion(mesh, ckg, bc0, gamma)
+    flow2, metrics = ck_simple_step(
+        mesh, ckg, zc, zs, zv, settings, rho, mu, ck_diff, flow,
+        comm=comm,
+    )
+    tb2, _ = turbulence_step(
+        mesh, ckg, bc0, settings, rho, mu, flow2, tb, k_in, eps_in,
+        comm=comm,
+    )
+    return (flow2, tb2), metrics
 
 
 def solve_steady_turbulent(
@@ -264,23 +305,10 @@ def solve_steady_turbulent(
     is_wall_face = (bc0.code == WALL) & ckg.mask & ~ckg.interior
 
     def step(carry, _):
-        flow, tb = carry
-        # Effective viscosity field for momentum diffusion.
-        mu_t_f = 0.5 * (tb.mu_t[:, None] + nbr_values(mesh, tb.mu_t, ckg.interior))
-        mu_w = wall_viscosity(tb.k, y_p, has_wall, rho, mu)
-        gamma = jnp.where(
-            ckg.interior,
-            mu + mu_t_f,
-            jnp.where(is_wall_face, mu_w[:, None], mu + tb.mu_t[:, None]),
+        return rans_outer_step(
+            mesh, ckg, bc0, zc, zs, zv, settings, rho, mu,
+            k_in, eps_in, has_wall, y_p, is_wall_face, carry,
         )
-        ck_diff = ck_diffusion(mesh, ckg, bc0, gamma)
-        flow2, metrics = ck_simple_step(
-            mesh, ckg, zc, zs, zv, settings, rho, mu, ck_diff, flow
-        )
-        tb2, _ = turbulence_step(
-            mesh, ckg, bc0, settings, rho, mu, flow2, tb, k_in, eps_in
-        )
-        return (flow2, tb2), metrics
 
     run = jax.jit(
         lambda carry, n: lax.scan(step, carry, None, length=n),
@@ -307,4 +335,126 @@ def solve_steady_turbulent(
                 f"ms/iter = {dt_ms:.3g}"
             )
     flow, tb = carry
+    return flow, tb, history
+
+
+def solve_steady_turbulent_sharded(
+    mesh: CompiledMesh,
+    table,
+    settings: NumericalSettings,
+    rho: float,
+    mu: float,
+    u_ref: float,
+    iterations: int = 500,
+    reporting_interval: int = 100,
+    intensity: float = 0.05,
+    length_scale: float = 0.1,
+    state: Optional[FlowState] = None,
+    turb: Optional[TurbState] = None,
+    n_devices: Optional[int] = None,
+    partition_method: str = "auto",
+    verbose: bool = True,
+):
+    """Multi-device RANS: the same outer step as solve_steady_turbulent
+    under `shard_map` — per-device ck geometry, ppermute ghost-layer
+    refresh before every neighbor shift (flow AND k/eps/mu_t fields),
+    psum'd reductions in all four solves. Returns global
+    (FlowState, TurbState, history)."""
+    import time
+
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from orc_tpu.ops.fields import WALL, device_bc
+    from orc_tpu.parallel.partition import partition_mesh
+    from orc_tpu.parallel.sharded import (
+        AXIS,
+        ShardedComm,
+        gather_tree,
+        scatter_tree,
+    )
+
+    table.validate_supported()
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    device_mesh = Mesh(np.array(devices), (AXIS,))
+    partition = partition_mesh(mesh, n, method=partition_method)
+    lm = partition.local_mesh
+    n_zones = len(table.zone_ids)
+    stacked_ck = jax.vmap(lambda m: build_ck_geometry(m, n_zones))(lm)
+
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    if state is None:
+        state = initial_state(mesh)
+    if turb is None:
+        turb = initial_turbulence(mesh, u_ref, intensity, length_scale, rho)
+    k_in = 1.5 * (intensity * abs(u_ref)) ** 2
+    eps_in = C_MU ** 0.75 * k_in ** 1.5 / length_scale
+    local = scatter_tree(partition, (state, turb))
+
+    reporting_interval = max(1, min(reporting_interval, iterations))
+
+    def make_run(n_steps):
+        def step_fn(lmesh, ck, send_idx, recv_idx, carry, zc, zs, zv):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)
+            lmesh = sq(lmesh)
+            ck = sq(ck)
+            comm = ShardedComm(partition, sq(send_idx), sq(recv_idx))
+            carry = sq(carry)
+            bc0 = ck_bc(ck, zc, zs, zv)
+            has_wall, y_p = _wall_adjacent(ck, bc0)
+            is_wall_face = (bc0.code == WALL) & ck.mask & ~ck.interior
+
+            def body(c, _):
+                return rans_outer_step(
+                    lmesh, ck, bc0, zc, zs, zv, settings, rho, mu,
+                    k_in, eps_in, has_wall, y_p, is_wall_face, c,
+                    comm=comm,
+                )
+
+            carry, metrics = lax.scan(body, carry, None, length=n_steps)
+            add = lambda t: jax.tree.map(lambda a: a[None], t)
+            return add(carry), metrics
+
+        shard, repl = P(AXIS), P()
+        mapped = jax.shard_map(
+            step_fn,
+            mesh=device_mesh,
+            in_specs=(
+                shard, shard, shard, shard, shard, repl, repl, repl,
+            ),
+            out_specs=(shard, repl),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(carry, zc, zs, zv):
+            return mapped(
+                lm, stacked_ck, partition.send_idx, partition.recv_idx,
+                carry, zc, zs, zv,
+            )
+
+        return run
+
+    run = make_run(reporting_interval)
+    history = []
+    done = 0
+    t0 = time.perf_counter()
+    while done < iterations:
+        k_steps = min(reporting_interval, iterations - done)
+        if k_steps != reporting_interval:
+            run = make_run(k_steps)
+        local, metrics = run(local, zc, zs, zv)
+        jax.block_until_ready(local)
+        done += k_steps
+        history.append(metrics)
+        if verbose:
+            va = jax.device_get(metrics.vel_avg[-1])
+            dt_ms = (time.perf_counter() - t0) * 1e3 / done
+            print(
+                f"[k-eps x{n}] iter {done}: avg velocity = "
+                f"({va[0]:.2e}, {va[1]:.2e}, {va[2]:.2e})  "
+                f"ms/iter = {dt_ms:.3g}"
+            )
+    flow, tb = gather_tree(partition, local, mesh.n_cells)
     return flow, tb, history

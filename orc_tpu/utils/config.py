@@ -253,10 +253,13 @@ def build_problem(case: Case):
         import jax.numpy as jnp
 
         f = jnp.asarray(case.body_force, mesh.dtype)
-        vol = mesh.cell_volume
 
-        def momentum_source(cc, _f=f, _v=vol):
-            return _f[None, :] * _v[:, None]
+        # Two-arg form: the assembly passes LOCAL centroids+volumes, so
+        # the same closure works single-device and under shard_map
+        # (closing over the global volume array would shape-mismatch
+        # the per-device blocks).
+        def momentum_source(cc, vol, _f=f):
+            return _f[None, :] * vol[:, None]
 
         case.settings = case.settings.replace(
             momentum_source=momentum_source

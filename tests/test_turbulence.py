@@ -151,3 +151,73 @@ def test_initial_turbulence_levels():
     k = float(np.asarray(t.k)[0])
     assert np.isclose(k, 1.5 * (0.1 * 2.0) ** 2)
     assert float(np.asarray(t.mu_t)[0]) > 0
+
+
+def test_sharded_turbulent_matches_single_device():
+    """The distributed RANS loop (sharded SIMPLE + sharded k/eps
+    transport) reproduces the single-device trajectory."""
+    from orc_tpu.solver.turbulence import solve_steady_turbulent_sharded
+
+    RE_TAU, H = 590.0, 2.0
+    rho, u_tau = 1.0, 1.0
+    mu = rho * u_tau * (H / 2) / RE_TAU
+    G = rho * u_tau**2 / (H / 2)
+    nx, ny = 4, 16
+    mesh, table = structured_box_mesh(
+        nx, ny, 1, lengths=(4.0, H, 0.2), periodic=("x",)
+    )
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set("TOP_WALL", FaceCondition.WALL)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    vol = float(np.asarray(mesh.cell_volume)[0])
+
+    def source(cc):
+        s = jnp.zeros_like(cc)
+        return s.at[:, 0].set(G * vol)
+
+    settings = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB, iterations=30
+        ),
+        momentum_source=source,
+    )
+    # (a) Single-step semantic equivalence, tight: the sharded outer
+    # step is the same math (reduction order aside).
+    kw1 = dict(
+        u_ref=18.0, iterations=1, reporting_interval=1,
+        intensity=0.05, length_scale=0.2 * H, verbose=False,
+    )
+    f1, t1, _ = solve_steady_turbulent(mesh, table, settings, rho, mu, **kw1)
+    f4, t4, _ = solve_steady_turbulent_sharded(
+        mesh, table, settings, rho, mu, n_devices=4, **kw1
+    )
+    np.testing.assert_allclose(
+        np.asarray(f4.vel), np.asarray(f1.vel), rtol=1e-9, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(t4.k), np.asarray(t1.k), rtol=1e-9, atol=1e-12
+    )
+    # (b) Converged-state equivalence: inner-solver exit decisions flip
+    # on rounding mid-trajectory (measured: divergence peaks ~iter 5
+    # then contracts), but both runs must reach the same steady state.
+    kw = dict(
+        u_ref=18.0, iterations=400, reporting_interval=400,
+        intensity=0.05, length_scale=0.2 * H, verbose=False,
+    )
+    flow1, tb1, _ = solve_steady_turbulent(
+        mesh, table, settings, rho, mu, **kw
+    )
+    flow4, tb4, _ = solve_steady_turbulent_sharded(
+        mesh, table, settings, rho, mu, n_devices=4, **kw
+    )
+    u1 = np.asarray(flow1.vel)[:, 0]
+    u4 = np.asarray(flow4.vel)[:, 0]
+    assert abs(u4.mean() - u1.mean()) < 5e-3 * abs(u1.mean())
+    np.testing.assert_allclose(u4, u1, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(tb4.mu_t), np.asarray(tb1.mu_t), rtol=5e-2, atol=1e-10
+    )
