@@ -74,6 +74,7 @@ def cmd_run(args):
         case.data_file or case.checkpoint_file, mesh, table, case.mu, case.rho
     )
     t0 = time.perf_counter()
+    turb = None  # set by the turbulence arm; checkpointed when present
     n_dev = (
         len(jax.devices()) if case.devices == "all" else int(case.devices)
     )
@@ -84,6 +85,17 @@ def cmd_run(args):
         )
 
         tb = case.turbulence
+        # Resume k/eps/mu_t too when the checkpoint carries them.
+        turb0 = None
+        if case.checkpoint_file and os.path.exists(case.checkpoint_file):
+            from orc_tpu.io.checkpoint import load_checkpoint
+
+            try:
+                _, turb0, _ = load_checkpoint(
+                    case.checkpoint_file, mesh, with_turbulence=True
+                )
+            except ValueError:
+                pass  # different mesh: fresh turbulence init
         kw = dict(
             u_ref=float(tb.get("u_ref", 1.0)),
             iterations=case.iterations,
@@ -91,6 +103,7 @@ def cmd_run(args):
             intensity=float(tb.get("intensity", 0.05)),
             length_scale=float(tb.get("length_scale", 0.1)),
             state=state,
+            turb=turb0,
         )
         if n_dev > 1:
             state, turb, history = solve_steady_turbulent_sharded(
@@ -164,7 +177,9 @@ def cmd_run(args):
         write_gradients(case.gradients_file, mesh, gv, gp)
         print(f"wrote {case.gradients_file}")
     if case.checkpoint_file:
-        save_checkpoint(case.checkpoint_file, mesh, state, case.iterations)
+        save_checkpoint(
+            case.checkpoint_file, mesh, state, case.iterations, turb=turb
+        )
         print(f"wrote {case.checkpoint_file}")
     vtk_path = args.vtk or case.vtk_file
     if vtk_path:

@@ -29,7 +29,18 @@ def mesh_fingerprint(mesh: CompiledMesh) -> str:
     return h.hexdigest()[:16]
 
 
-def save_checkpoint(path, mesh: CompiledMesh, state: FlowState, iteration=0):
+def save_checkpoint(
+    path, mesh: CompiledMesh, state: FlowState, iteration=0, turb=None
+):
+    """`turb` (solver.turbulence.TurbState) is included when given so
+    RANS runs resume their k/eps/mu_t fields too."""
+    extra = {}
+    if turb is not None:
+        extra = dict(
+            turb_k=np.asarray(turb.k),
+            turb_eps=np.asarray(turb.eps),
+            turb_mu_t=np.asarray(turb.mu_t),
+        )
     np.savez_compressed(
         path,
         vel=np.asarray(state.vel),
@@ -37,11 +48,13 @@ def save_checkpoint(path, mesh: CompiledMesh, state: FlowState, iteration=0):
         mom_diag=np.asarray(state.mom_diag),
         iteration=np.int64(iteration),
         mesh_fingerprint=np.bytes_(mesh_fingerprint(mesh).encode()),
+        **extra,
     )
 
 
-def load_checkpoint(path, mesh: CompiledMesh):
-    """Returns (FlowState, iteration). Raises ValueError on a mesh
+def load_checkpoint(path, mesh: CompiledMesh, with_turbulence=False):
+    """Returns (FlowState, iteration) — or (FlowState, TurbState|None,
+    iteration) with `with_turbulence=True`. Raises ValueError on a mesh
     mismatch."""
     with np.load(path) as z:
         fp = bytes(z["mesh_fingerprint"]).decode()
@@ -55,7 +68,18 @@ def load_checkpoint(path, mesh: CompiledMesh):
             p=jnp.asarray(z["p"], mesh.dtype),
             mom_diag=jnp.asarray(z["mom_diag"], mesh.dtype),
         )
-        return state, int(z["iteration"])
+        if not with_turbulence:
+            return state, int(z["iteration"])
+        turb = None
+        if "turb_k" in z:
+            from orc_tpu.solver.turbulence import TurbState
+
+            turb = TurbState(
+                k=jnp.asarray(z["turb_k"], mesh.dtype),
+                eps=jnp.asarray(z["turb_eps"], mesh.dtype),
+                mu_t=jnp.asarray(z["turb_mu_t"], mesh.dtype),
+            )
+        return state, turb, int(z["iteration"])
 
 
 def load_or_initialize(

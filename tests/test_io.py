@@ -223,3 +223,32 @@ def test_debug_dump_structured_no_neighbors():
     assert s.count("\n") == mesh.n_cells - 1
     s2 = linear_system_to_string(A, jnp.ones(mesh.n_cells), max_dense_cols=4)
     assert "|" in s2
+
+
+def test_checkpoint_turbulence_roundtrip(tmp_path):
+    """RANS checkpoints carry k/eps/mu_t and restore them; plain
+    checkpoints still load with with_turbulence=True (turb=None)."""
+    import jax.numpy as jnp
+
+    from orc_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from orc_tpu.mesh.generate import structured_box_mesh
+    from orc_tpu.solver.simple import initial_state
+    from orc_tpu.solver.turbulence import initial_turbulence
+
+    mesh, _ = structured_box_mesh(4, 4, 1)
+    state = initial_state(mesh)
+    turb = initial_turbulence(mesh, 1.0, 0.05, 0.1, 1.0)
+    p = os.path.join(tmp_path, "ck.npz")
+    save_checkpoint(p, mesh, state, 7, turb=turb)
+    s2, t2, it = load_checkpoint(p, mesh, with_turbulence=True)
+    assert it == 7
+    np.testing.assert_allclose(np.asarray(t2.k), np.asarray(turb.k))
+    np.testing.assert_allclose(np.asarray(t2.mu_t), np.asarray(turb.mu_t))
+    # Plain checkpoint: turb comes back None.
+    p2 = os.path.join(tmp_path, "plain.npz")
+    save_checkpoint(p2, mesh, state, 3)
+    s3, t3, it3 = load_checkpoint(p2, mesh, with_turbulence=True)
+    assert t3 is None and it3 == 3
+    # Legacy signature unchanged.
+    s4, it4 = load_checkpoint(p2, mesh)
+    assert it4 == 3
