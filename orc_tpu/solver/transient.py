@@ -54,8 +54,6 @@ def solve_transient(
     leading axis [n_steps] from each step's final inner iteration).
     """
     table.validate_supported()
-    if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
-        from orc_tpu.solver.amg import build_hierarchy
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     if state is None:
         state = initial_state(mesh)
@@ -82,8 +80,10 @@ def solve_transient(
         colors, n_colors = greedy_coloring(mesh)
         solver_extras = dict(colors=colors, n_colors=n_colors)
     elif settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
+        from orc_tpu.solver.gmg import build_mg_hierarchy
+
         solver_extras = dict(
-            mg_hierarchy=build_hierarchy(mesh, diff, settings.matrix_solver)
+            mg_hierarchy=build_mg_hierarchy(mesh, diff, settings)
         )
 
     @jax.jit
@@ -124,3 +124,33 @@ def solve_transient(
     if check_divergence and bool(jax.device_get(jnp.any(metrics.diverged))):
         raise SolverDivergedError(n_steps)
     return state, metrics
+
+
+def courant_numbers(mesh: CompiledMesh, table: BoundaryTable, vel, dt):
+    """(avg, min, max) cell Courant numbers Co = dt * sum_f |u_f.n| A /
+    (2 V) — the standard FV CFL estimate.
+
+    A working implementation of the reference's dead stub
+    (solver.rs:1229-1239, commented out with an empty loop body).
+    Traceable; use it to pick `dt` for `solve_transient`.
+    """
+    from orc_tpu.ops.interpolation import face_flux
+    from orc_tpu.ops.layout import take
+    from orc_tpu.utils.settings import VelocityInterpolation
+
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    fbc = face_bc(mesh, zc, zs, zv)
+    flux = face_flux(mesh, fbc, vel, VelocityInterpolation.LINEAR)
+    cf = mesh.cell_faces
+    m = mesh.cell_face_mask
+    outflow = jnp.where(
+        m, jnp.abs(take(flux, cf)) * take(mesh.face_area, cf), 0.0
+    )
+    co = dt * jnp.sum(outflow, axis=1) / (2.0 * mesh.cell_volume)
+    active = m.any(axis=1)
+    inf = jnp.asarray(jnp.inf, co.dtype)
+    return (
+        jnp.sum(jnp.where(active, co, 0.0)) / jnp.sum(active),
+        jnp.min(jnp.where(active, co, inf)),
+        jnp.max(jnp.where(active, co, -inf)),
+    )

@@ -119,3 +119,25 @@ def test_transient_metrics_shape():
     )
     assert metrics.vel_avg.shape == (5, 3)
     assert np.isfinite(np.asarray(state.vel)).all()
+
+
+def test_courant_numbers():
+    """Co = dt * sum|u.n|A / (2V): uniform u through a unit-cell box
+    gives Co = dt*|u|/h exactly (two crossed faces per direction)."""
+    import jax.numpy as jnp
+
+    from orc_tpu.solver.transient import courant_numbers
+
+    mesh, table = structured_box_mesh(4, 4, 1, lengths=(4.0, 4.0, 1.0))
+    u0, dt = 2.0, 0.25
+    # Through-flow BCs so every cell sees both its x-faces fluxed
+    # (walls zero the face flux, which is correct but makes the
+    # expected value cell-position-dependent).
+    table.set("INLET", FaceCondition.VELOCITY_INLET, vector_value=(u0, 0, 0))
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET)
+    vel = jnp.tile(jnp.asarray([u0, 0.0, 0.0]), (mesh.n_cells, 1))
+    avg, lo, hi = courant_numbers(mesh, table, vel, dt)
+    # h = 1, |u| = 2, dt = 0.25 -> Co = 0.5 in every cell.
+    np.testing.assert_allclose(float(avg), 0.5, rtol=1e-12)
+    np.testing.assert_allclose(float(lo), 0.5, rtol=1e-12)
+    np.testing.assert_allclose(float(hi), 0.5, rtol=1e-12)
