@@ -105,6 +105,44 @@ class CompiledMesh:
         return self.cell_volume.dtype
 
 
+def trim_for_ck(mesh: CompiledMesh) -> CompiledMesh:
+    """Copy of the mesh with every array the (c,k)-direct step never
+    reads replaced by a 2-element dummy: the face-major tables and the
+    [C,K] index/sign tables (the ck step works from CKGeometry + shift
+    offsets + cell volume/centroid only). Passing the trimmed mesh to
+    the jitted step keeps ~2.2 GB of face arrays (at 16.8M cells f32)
+    out of the executable's arguments and lets them be freed.
+
+    Dummies are length 2 — not 1 — so any op that accidentally touches
+    a trimmed field fails loudly on a shape mismatch instead of
+    broadcasting a [1,...] array against [C,...].
+    """
+    dt = mesh.dtype
+    d1 = jnp.zeros((2,), dt)
+    d3 = jnp.zeros((2, 3), dt)
+    i1 = jnp.zeros((2,), jnp.int32)
+    b1 = jnp.zeros((2,), bool)
+    K = mesh.max_faces_per_cell
+    return dataclasses.replace(
+        mesh,
+        face_owner=i1,
+        face_neighbor=i1,
+        face_interior=b1,
+        face_area=d1,
+        face_normal=d3,
+        face_centroid=d3,
+        face_zone_slot=i1,
+        face_lw=d1,
+        face_r_on=d3,
+        face_dist_on=d1,
+        face_dist_fo=d1,
+        cell_faces=jnp.zeros((2, K), jnp.int32),
+        cell_face_sign=jnp.zeros((2, K), dt),
+        cell_neighbors=jnp.zeros((2, K), jnp.int32),
+        nodes=None,
+    )
+
+
 def compile_mesh(raw: RawMesh, dtype=jnp.float64, nodes: bool = False):
     """Compile a parsed mesh into (CompiledMesh, BoundaryTable).
 

@@ -484,10 +484,21 @@ def _run_scan(
 def _make_chunk_runner(
     mesh, settings, diff, n_steps, solver_extras, ck=None, ck_diff=None
 ):
-    """`lax.scan` runner over n_steps SIMPLE iterations."""
+    """`lax.scan` runner over n_steps SIMPLE iterations.
+
+    On the ck path the face-major mesh tables are never read, so the
+    runner passes a trimmed mesh (mesh.compile.trim_for_ck): the big
+    face/[C,K]-index arrays stay out of the executable's arguments
+    (less per-dispatch layout normalization, and they can be freed for
+    large runs)."""
     colors = solver_extras.get("colors")
     n_colors = solver_extras.get("n_colors", 0)
     mg = solver_extras.get("mg_hierarchy")
+    if ck is not None:
+        from orc_tpu.mesh.compile import trim_for_ck
+
+        mesh = trim_for_ck(mesh)
+        diff = None  # unused by the ck body; don't ship its arrays
 
     def run(state, zone_codes, zone_scalar, zone_vector, rho, mu):
         return _run_scan(

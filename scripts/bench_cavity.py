@@ -85,6 +85,14 @@ def main():
         ck_diff = ck_diffusion(
             mesh, ck, ck_bc(ck, zc, zs, zv), jnp.asarray(mu, mesh.dtype)
         )
+        # Drop the face/[C,K]-index tables the ck step never reads so
+        # their HBM is reclaimed (the runner trims its own copy, but
+        # freeing needs this reference gone too).
+        from orc_tpu.mesh.compile import trim_for_ck
+
+        mesh = trim_for_ck(mesh)
+        diff = None
+        del fbc
         print(f"ck geometry: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     else:
         print("above ck ceiling -> face-major step", file=sys.stderr)
