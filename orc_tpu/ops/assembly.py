@@ -192,17 +192,11 @@ def momentum_system(
     # discretization.rs:171-173 where s_u_dc is a zero TODO).
     s_u = s_u + s_dc
     if settings.momentum_source is not None:
-        import inspect
+        from orc_tpu.ops.fields import momentum_source_term
 
-        src = settings.momentum_source
-        # Two-arg sources f(centroids, volumes) integrate per-cell
-        # volume themselves from LOCAL arrays — required under
-        # shard_map, where a closure over global volumes would
-        # shape-mismatch the local block.
-        if len(inspect.signature(src).parameters) >= 2:
-            s_u = s_u + src(mesh.cell_centroid, mesh.cell_volume)
-        else:
-            s_u = s_u + src(mesh.cell_centroid)
+        s_u = s_u + momentum_source_term(
+            settings.momentum_source, mesh.cell_centroid, mesh.cell_volume
+        )
 
     # Assemble per-component ELL matrices: off-diag = a_nb + diffusion
     # off-diag at interior slots; diag = a_p + diffusion diag.

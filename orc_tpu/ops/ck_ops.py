@@ -528,17 +528,11 @@ def ck_momentum(
     )
     s_u = s_u + s_dc
     if settings.momentum_source is not None:
-        import inspect
+        from orc_tpu.ops.fields import momentum_source_term
 
-        src = settings.momentum_source
-        # Two-arg sources f(centroids, volumes) integrate per-cell
-        # volume themselves from LOCAL arrays — required under
-        # shard_map, where a closure over global volumes would
-        # shape-mismatch the local block.
-        if len(inspect.signature(src).parameters) >= 2:
-            s_u = s_u + src(mesh.cell_centroid, mesh.cell_volume)
-        else:
-            s_u = s_u + src(mesh.cell_centroid)
+        s_u = s_u + momentum_source_term(
+            settings.momentum_source, mesh.cell_centroid, mesh.cell_volume
+        )
 
     off = jnp.where(ck.interior[..., None], a_nb + diff_off[..., None], 0.0)
     active = ck.mask.any(axis=1)

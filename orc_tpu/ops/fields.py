@@ -100,3 +100,29 @@ def face_bc(mesh: CompiledMesh, zone_codes, zone_scalar, zone_vector) -> FaceBC:
         zscalar=zone_scalar,
         zvector=zone_vector,
     )
+
+
+def momentum_source_term(source, centroids, volumes):
+    """Evaluate a user momentum source with the documented contract:
+    ``f(centroids [C,3]) -> [C,3]`` (already volume-integrated) or
+    ``f(centroids, volumes) -> [C,3]`` (receives LOCAL per-cell volumes
+    — required for closures that integrate a per-unit-volume force, and
+    the only form that works under shard_map). Dispatch counts REQUIRED
+    positional parameters only, so capture-by-default-argument closures
+    (``lambda cc, _g=g: ...``) keep the single-argument contract.
+    Shared by both assembly paths (ops/assembly.py, ops/ck_ops.py)."""
+    import inspect
+
+    required = [
+        prm
+        for prm in inspect.signature(source).parameters.values()
+        if prm.default is inspect.Parameter.empty
+        and prm.kind
+        in (
+            inspect.Parameter.POSITIONAL_ONLY,
+            inspect.Parameter.POSITIONAL_OR_KEYWORD,
+        )
+    ]
+    if len(required) >= 2:
+        return source(centroids, volumes)
+    return source(centroids)

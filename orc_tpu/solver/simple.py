@@ -494,7 +494,10 @@ def _make_chunk_runner(
     colors = solver_extras.get("colors")
     n_colors = solver_extras.get("n_colors", 0)
     mg = solver_extras.get("mg_hierarchy")
-    if ck is not None:
+    if ck is not None and mesh.neighbor_offsets is not None:
+        # Structured meshes only: the irregular-mesh ck fallback still
+        # gathers through mesh.cell_neighbors (ck_ops.nbr_values) and
+        # builds EllMatrices from it, so those must stay intact there.
         from orc_tpu.mesh.compile import trim_for_ck
 
         mesh = trim_for_ck(mesh)
@@ -551,9 +554,6 @@ def solve_steady(
     if state is None:
         state = initial_state(mesh)
 
-    fbc = face_bc(mesh, zc, zs, zv)
-    diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
-
     ck = ck_diff = None
     # The (c,k)-direct step computes Green-Gauss cell gradients only;
     # LSQ / node-based runs must take the face-major path.
@@ -580,6 +580,19 @@ def solve_steady(
         bc0 = ck_bc(ck, zc, zs, zv)
         ck_diff = ck_diffusion(mesh, ck, bc0, jnp.asarray(mu, mesh.dtype))
 
+    # The face-major diffusion system is only needed when the
+    # face-major step will actually run, or for the AMG hierarchy's
+    # coupling values — skip the whole build otherwise so large ck runs
+    # never materialize those arrays.
+    need_diff = (
+        ck is None
+        or settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID
+    )
+    diff = None
+    if need_diff:
+        fbc = face_bc(mesh, zc, zs, zv)
+        diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
+
     solver_extras = {}
     if settings.matrix_solver.solver_type == SolutionMethod.GAUSS_SEIDEL:
         from orc_tpu.solver.coloring import greedy_coloring
@@ -592,6 +605,14 @@ def solve_steady(
         solver_extras = dict(
             mg_hierarchy=build_mg_hierarchy(mesh, diff, settings)
         )
+
+    if ck is not None and mesh.neighbor_offsets is not None:
+        # Drop this frame's references to the big tables too so the
+        # trimmed runner's freeing actually frees (see trim_for_ck).
+        from orc_tpu.mesh.compile import trim_for_ck
+
+        mesh = trim_for_ck(mesh)
+        diff = None
 
     run = _make_chunk_runner(
         mesh, settings, diff, reporting_interval, solver_extras,

@@ -327,7 +327,8 @@ def solve_steady_turbulent(
         history.append(metrics)
         if verbose:
             va = jax.device_get(metrics.vel_avg[-1])
-            dt_ms = (time.perf_counter() - t0) * 1e3 / done
+            dt_ms = (time.perf_counter() - t0) * 1e3 / n
+            t0 = time.perf_counter()
             print(
                 f"[k-eps] iter {done}: avg velocity = ({va[0]:.2e}, "
                 f"{va[1]:.2e}, {va[2]:.2e})  "
@@ -354,6 +355,7 @@ def solve_steady_turbulent_sharded(
     n_devices: Optional[int] = None,
     partition_method: str = "auto",
     verbose: bool = True,
+    check_divergence: bool = True,
 ):
     """Multi-device RANS: the same outer step as solve_steady_turbulent
     under `shard_map` — per-device ck geometry, ppermute ghost-layer
@@ -373,13 +375,35 @@ def solve_steady_turbulent_sharded(
         gather_tree,
         scatter_tree,
     )
+    from orc_tpu.solver.simple import CK_AUTO_MAX_CELLS, SolverDivergedError
+    from orc_tpu.utils.settings import GradientReconstruction, SolutionMethod
 
     table.validate_supported()
+    if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
+        raise NotImplementedError(
+            "sharded RANS does not plumb the multigrid coarse-grid "
+            "ownership data yet; use BICGSTAB/JACOBI for distributed "
+            "turbulent runs (single-device RANS supports MULTIGRID)"
+        )
+    if (
+        settings.gradient_reconstruction
+        == GradientReconstruction.GREEN_GAUSS_NODE
+    ):
+        raise ValueError(
+            "the ck-direct RANS step does not implement node-based "
+            "Green-Gauss gradients"
+        )
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
     device_mesh = Mesh(np.array(devices), (AXIS,))
     partition = partition_mesh(mesh, n, method=partition_method)
     lm = partition.local_mesh
+    if lm.cell_volume.shape[1] > CK_AUTO_MAX_CELLS:
+        raise ValueError(
+            "per-device partition exceeds the ck geometry ceiling "
+            f"({lm.cell_volume.shape[1]} > {CK_AUTO_MAX_CELLS}); use "
+            "more devices"
+        )
     n_zones = len(table.zone_ids)
     stacked_ck = jax.vmap(lambda m: build_ck_geometry(m, n_zones))(lm)
 
@@ -450,11 +474,16 @@ def solve_steady_turbulent_sharded(
         history.append(metrics)
         if verbose:
             va = jax.device_get(metrics.vel_avg[-1])
-            dt_ms = (time.perf_counter() - t0) * 1e3 / done
+            dt_ms = (time.perf_counter() - t0) * 1e3 / k_steps
+            t0 = time.perf_counter()
             print(
                 f"[k-eps x{n}] iter {done}: avg velocity = "
                 f"({va[0]:.2e}, {va[1]:.2e}, {va[2]:.2e})  "
                 f"ms/iter = {dt_ms:.3g}"
             )
+        if check_divergence and bool(
+            jax.device_get(jnp.any(metrics.diverged))
+        ):
+            raise SolverDivergedError(done)
     flow, tb = gather_tree(partition, local, mesh.n_cells)
     return flow, tb, history

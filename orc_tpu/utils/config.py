@@ -249,6 +249,26 @@ def build_problem(case: Case):
             scalar_value=spec.get("pressure"),
             vector_value=spec.get("velocity"),
         )
+    # Periodic types are only valid as bookkeeping on zones whose face
+    # pairs were merged away at mesh compile. A LIVE zone retyped
+    # "periodic" would silently match no BC arm in the solver, so
+    # reject it loudly here.
+    import numpy as np
+
+    face_slots = np.asarray(mesh.face_zone_slot)
+    for zid, fz in table.zones.items():
+        if fz.zone_type in (
+            FaceCondition.PERIODIC,
+            FaceCondition.PERIODIC_SHADOW,
+        ):
+            slot = table.slot_of_zone[zid]
+            if (face_slots == slot).any():
+                raise ValueError(
+                    f"zone '{fz.name}' is typed {fz.zone_type.name} but "
+                    f"still has faces: periodic pairs must come from the "
+                    f"mesh (TGRID `(18` sections or generate.periodic), "
+                    f"not from retyping a live boundary"
+                )
     if case.body_force is not None:
         import jax.numpy as jnp
 

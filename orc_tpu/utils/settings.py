@@ -208,10 +208,15 @@ class NumericalSettings:
     # Must be very small (<<0.1) for stable SIMPLE convergence
     # (reference: lib.rs:31-32, README.md:17-19).
     pressure_relaxation: float = 0.01
-    # Optional per-cell momentum source: callable(cell_centroids [C,3])
-    # -> [C,3], closed over at trace time (the reference's
+    # Optional per-cell momentum source (the reference's
     # get_momentum_source_term hook, solver.rs:698-701, which returns
-    # zero).
+    # zero). Two contracts, dispatched on REQUIRED positional-arg count
+    # (ops/fields.momentum_source_term):
+    #   f(cell_centroids [C,3]) -> [C,3]            already integrated
+    #   f(cell_centroids, cell_volumes) -> [C,3]    integrates a
+    #     per-unit-volume force from LOCAL arrays — the only form that
+    #     works under shard_map (a closure over global volumes would
+    #     shape-mismatch the per-device blocks).
     momentum_source: Optional[Callable] = None
     matrix_solver: MatrixSolverSettings = dataclasses.field(
         default_factory=MatrixSolverSettings

@@ -283,3 +283,27 @@ def test_ck_constants_gating():
     assert structured_box_mesh(6, 5, 1, periodic=("x",))[0].ck_constants is None
     assert structured_box_mesh(6, 5, 1)[0].ck_constants is not None
     assert structured_box_mesh(5, 4, 3, periodic=("x",))[0].ck_constants is not None
+
+
+def test_solve_steady_ck_irregular_mesh():
+    """solve_steady on an IRREGULAR mesh with the ck path: the runner
+    must NOT trim the index tables the gather fallback reads
+    (regression: trim_for_ck applied unconditionally broke this)."""
+    import dataclasses
+
+    mesh, table = make_case(6, 5)
+    mesh = dataclasses.replace(
+        mesh, neighbor_offsets=None, ck_constants=None
+    )
+    settings = SCHEMES["robust"]
+    r1, _ = solve_steady(
+        mesh, table, settings, RHO, MU, iterations=30,
+        reporting_interval=30, verbose=False, use_ck=True,
+    )
+    r2, _ = solve_steady(
+        mesh, table, settings, RHO, MU, iterations=30,
+        reporting_interval=30, verbose=False, use_ck=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.vel), np.asarray(r2.vel), rtol=1e-4, atol=1e-12
+    )
