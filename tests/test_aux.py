@@ -164,3 +164,56 @@ def test_measure_helpers():
     with timer.phase("a"):
         pass
     assert "a" in timer.report()
+
+
+def test_momentum_source_dispatch():
+    """momentum_source_term counts REQUIRED positional params only:
+    capture-by-default-argument closures keep the 1-arg contract, and
+    (centroids, volumes) sources receive the volume array."""
+    import jax.numpy as jnp
+
+    from orc_tpu.ops.fields import momentum_source_term
+
+    cc = jnp.ones((5, 3))
+    vol = jnp.full((5,), 2.0)
+
+    one_arg = lambda c: c * 10.0
+    np.testing.assert_allclose(
+        np.asarray(momentum_source_term(one_arg, cc, vol)), 10.0
+    )
+    # The common capture idiom must NOT receive volumes in its
+    # captured slot.
+    captured = lambda c, _g=7.0: c * _g
+    np.testing.assert_allclose(
+        np.asarray(momentum_source_term(captured, cc, vol)), 7.0
+    )
+    two_arg = lambda c, v: c * v[:, None]
+    np.testing.assert_allclose(
+        np.asarray(momentum_source_term(two_arg, cc, vol)), 2.0
+    )
+
+
+def test_sharded_rans_multigrid_rejected():
+    from orc_tpu.mesh import structured_box_mesh
+    from orc_tpu.solver.turbulence import solve_steady_turbulent_sharded
+    from orc_tpu.utils.settings import (
+        MatrixSolverSettings,
+        NumericalSettings,
+        SolutionMethod,
+    )
+
+    mesh, table = structured_box_mesh(4, 4, 1)
+    from orc_tpu.mesh.zones import FaceCondition
+
+    table.set("INLET", FaceCondition.VELOCITY_INLET, vector_value=(1, 0, 0))
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET)
+    settings = NumericalSettings(
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.MULTIGRID
+        )
+    )
+    with pytest.raises(NotImplementedError, match="sharded RANS"):
+        solve_steady_turbulent_sharded(
+            mesh, table, settings, 1.0, 0.01, u_ref=1.0, n_devices=2,
+            iterations=1, verbose=False,
+        )
