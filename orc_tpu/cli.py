@@ -188,6 +188,19 @@ def cmd_run(args):
         from orc_tpu.io.vtk import write_solution_vtk
 
         if case.mesh_path:
+            if mesh.cell_order is not None:
+                # RCM-reordered compiled mesh: map fields back to the
+                # raw-file cell order the VTK topology uses.
+                import dataclasses as _dc
+
+                from orc_tpu.mesh.compile import to_raw_order
+
+                state = _dc.replace(
+                    state,
+                    vel=to_raw_order(mesh, state.vel),
+                    p=to_raw_order(mesh, state.p),
+                    mom_diag=to_raw_order(mesh, state.mom_diag),
+                )
             write_solution_vtk(vtk_path, case.mesh_path, state)
         else:
             from orc_tpu.mesh.generate import write_tgrid

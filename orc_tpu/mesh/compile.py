@@ -87,6 +87,12 @@ class CompiledMesh:
     # (mesh/nodes.py); built on request since they need the raw
     # face-node topology the compiled mesh otherwise discards.
     nodes: "object | None" = None
+    # Irregular-mesh fast path (mesh/reorder.py): RCM cell permutation
+    # (cell_order[new_id] = old_id; None when the input order was kept)
+    # and the per-tile distinct-delta slice plan consumed by
+    # EllMatrix.prepare()/slice_spmv.
+    cell_order: jax.Array | None = None
+    slice_plan: "object | None" = None
 
     @property
     def n_cells(self) -> int:
@@ -187,8 +193,34 @@ def compile_mesh(raw: RawMesh, dtype=jnp.float64, nodes: bool = False):
         from orc_tpu.mesh.nodes import build_node_interp
 
         ni = build_node_interp(raw, geo.cell_centroid, dtype=mesh.dtype)
+        if mesh.cell_order is not None:
+            # The node tables reference cell ids in the raw order; remap
+            # through the RCM permutation (weights are value-identical).
+            order = np.asarray(mesh.cell_order)
+            inv = np.empty(order.shape[0], dtype=np.int64)
+            inv[order] = np.arange(order.shape[0])
+            ni = dataclasses.replace(
+                ni,
+                node_cells=jnp.asarray(
+                    inv[np.asarray(ni.node_cells)], jnp.int32
+                ),
+            )
         mesh = dataclasses.replace(mesh, nodes=ni)
     return mesh, table
+
+
+def to_raw_order(mesh: CompiledMesh, arr):
+    """Map a compiled-order cell array back to the raw-mesh cell order
+    (identity when no reordering was applied). For writers that pair
+    compiled fields with raw-mesh topology (e.g. io/vtk.py)."""
+    if mesh.cell_order is None:
+        return arr
+    import numpy as _np
+
+    order = _np.asarray(mesh.cell_order)
+    inv = _np.empty(order.shape[0], dtype=_np.int64)
+    inv[order] = _np.arange(order.shape[0])
+    return _np.asarray(arr)[inv]
 
 
 def _merge_periodic(
@@ -315,6 +347,86 @@ def compile_from_arrays(
     dist_on = np.linalg.norm(r_on, axis=1)
 
     # --- build the [C,K] ELL tables ---
+    cell_faces, cell_face_mask, cell_face_sign, cell_neighbors = _build_ell(
+        owner, neighbor, neighbor_safe, interior, C
+    )
+
+    entry_interior = interior[cell_faces] & cell_face_mask
+    structured = _structure_ell(
+        cell_faces, cell_face_mask, cell_face_sign, cell_neighbors,
+        entry_interior,
+    )
+    cell_centroid = geo.cell_centroid
+    cell_volume = geo.cell_volume
+    cell_order = None
+    slice_plan = None
+    if structured is not None:
+        offsets, cell_faces, cell_face_mask, cell_face_sign, cell_neighbors = (
+            structured
+        )
+    else:
+        offsets = None
+        import os as _os
+
+        if _os.environ.get("ORC_TPU_RCM", "1") == "1" and C > 2:
+            # Irregular adjacency: RCM-reorder cells to bound the index
+            # bandwidth, then build the slice plan (mesh/reorder.py) so
+            # solvers run the gather-free slice SpMV.
+            from orc_tpu.mesh.reorder import (
+                build_slice_plan,
+                rcm_permutation,
+            )
+
+            rcm = rcm_permutation(cell_neighbors, entry_interior)
+            inv = np.empty(C, dtype=np.int64)
+            inv[rcm] = np.arange(C)
+            owner = inv[owner]
+            neighbor = np.where(interior, inv[neighbor_safe], -1)
+            neighbor_safe = np.where(interior, inv[neighbor_safe], owner)
+            cell_centroid = np.asarray(cell_centroid)[rcm]
+            cell_volume = np.asarray(cell_volume)[rcm]
+            (
+                cell_faces,
+                cell_face_mask,
+                cell_face_sign,
+                cell_neighbors,
+            ) = _build_ell(owner, neighbor, neighbor_safe, interior, C)
+            entry_interior = interior[cell_faces] & cell_face_mask
+            slice_plan = build_slice_plan(cell_neighbors, entry_interior)
+            cell_order = rcm
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+
+    return CompiledMesh(
+        face_owner=i32(owner),
+        face_neighbor=i32(neighbor_safe),
+        face_interior=jnp.asarray(interior),
+        face_area=f(geo.face_area),
+        face_normal=f(geo.face_normal),
+        face_centroid=f(geo.face_centroid),
+        face_zone_slot=i32(zone_slot),
+        face_lw=f(lw),
+        face_r_on=f(r_on),
+        face_dist_on=f(dist_on),
+        face_dist_fo=f(dx0),
+        cell_centroid=f(cell_centroid),
+        cell_volume=f(cell_volume),
+        cell_faces=i32(cell_faces),
+        cell_face_mask=jnp.asarray(cell_face_mask),
+        cell_face_sign=f(cell_face_sign),
+        cell_neighbors=i32(cell_neighbors),
+        dim=dim,
+        neighbor_offsets=offsets,
+        cell_order=None if cell_order is None else i32(cell_order),
+        slice_plan=slice_plan,
+    )
+
+
+def _build_ell(owner, neighbor, neighbor_safe, interior, C):
+    """Pack the face list into [C,K] ELL tables (faces, mask, owner-sign,
+    neighbor-cell; self-index at boundary/padded slots)."""
+    F = owner.shape[0]
     n_int = int(interior.sum())
     ell_face = np.concatenate([np.arange(F), np.arange(F)[interior]])
     ell_cell = np.concatenate([owner, neighbor[interior]])
@@ -349,43 +461,7 @@ def compile_from_arrays(
     cell_neighbors[ell_cell[is_int_entry], slot[is_int_entry]] = ell_other[
         is_int_entry
     ]
-
-    entry_interior = interior[cell_faces] & cell_face_mask
-    structured = _structure_ell(
-        cell_faces, cell_face_mask, cell_face_sign, cell_neighbors,
-        entry_interior,
-    )
-    if structured is not None:
-        offsets, cell_faces, cell_face_mask, cell_face_sign, cell_neighbors = (
-            structured
-        )
-    else:
-        offsets = None
-
-    f = lambda x: jnp.asarray(x, dtype=dtype)
-    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
-
-    return CompiledMesh(
-        face_owner=i32(owner),
-        face_neighbor=i32(neighbor_safe),
-        face_interior=jnp.asarray(interior),
-        face_area=f(geo.face_area),
-        face_normal=f(geo.face_normal),
-        face_centroid=f(geo.face_centroid),
-        face_zone_slot=i32(zone_slot),
-        face_lw=f(lw),
-        face_r_on=f(r_on),
-        face_dist_on=f(dist_on),
-        face_dist_fo=f(dx0),
-        cell_centroid=f(geo.cell_centroid),
-        cell_volume=f(geo.cell_volume),
-        cell_faces=i32(cell_faces),
-        cell_face_mask=jnp.asarray(cell_face_mask),
-        cell_face_sign=f(cell_face_sign),
-        cell_neighbors=i32(cell_neighbors),
-        dim=dim,
-        neighbor_offsets=offsets,
-    )
+    return cell_faces, cell_face_mask, cell_face_sign, cell_neighbors
 
 
 def _structure_ell(cell_faces, mask, sign, nbrs, entry_interior):

@@ -238,6 +238,7 @@ def momentum_system(
         off=jnp.moveaxis(off, -1, 0),  # [3,C,K]
         neighbors=mesh.cell_neighbors,
         offsets=mesh.neighbor_offsets,
+        plan=mesh.slice_plan,
     )
     return A, jnp.moveaxis(b, -1, 0), pe
 
@@ -285,6 +286,7 @@ def pressure_correction_system(
             off=off,
             neighbors=mesh.cell_neighbors,
             offsets=mesh.neighbor_offsets,
+            plan=mesh.slice_plan,
         ),
         b,
     )

@@ -39,6 +39,13 @@ class EllMatrix:
     and (at small mesh sizes) most of the dispatch-latency floor.
     Wrap-around entries are safe by construction: any row whose
     neighbor is not exactly c + offsets[k] carries a zero coefficient.
+
+    `plan` (irregular meshes, mesh/reorder.py): a per-tile distinct-
+    delta slice schedule. `prepare()` converts `off` once per solve
+    into the slice-column layout [..., ntiles, n_max, T]
+    (`slice_layout=True`), after which matvec runs gather-free on
+    contiguous dynamic slices — the TPU fast path for meshes with no
+    structured offsets.
     """
 
     diag: jax.Array
@@ -47,6 +54,10 @@ class EllMatrix:
     offsets: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    plan: "object | None" = None
+    slice_layout: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def n(self) -> int:
@@ -54,7 +65,35 @@ class EllMatrix:
 
     def matvec(self, x):
         """A @ x for x of shape [..., C] (batch dims broadcast)."""
+        if self.slice_layout:
+            return slice_spmv(self.diag, self.off, self.plan, x)
         return ell_spmv(self.diag, self.off, self.neighbors, x, self.offsets)
+
+    def prepare(self) -> "EllMatrix":
+        """One-time (per solve) conversion to the slice-column layout
+        when a slice plan exists. ~C*K scatter + transpose, amortized
+        over the solve's dozens of SpMVs. No-op otherwise."""
+        if self.plan is None or self.slice_layout:
+            return self
+        p = self.plan
+        C, K = self.neighbors.shape
+        batch = self.off.shape[:-2]
+        rows = jnp.arange(C)[:, None]
+        coef = jnp.zeros((*batch, C, p.n_max), self.off.dtype)
+        coef = coef.at[..., rows, p.col_of].add(self.off)
+        cpad = p.ntiles * p.tile - C
+        coef = jnp.pad(
+            coef, [(0, 0)] * len(batch) + [(0, cpad), (0, 0)]
+        ).reshape(*batch, p.ntiles, p.tile, p.n_max)
+        coef = jnp.swapaxes(coef, -1, -2)  # [..., ntiles, n_max, T]
+        return EllMatrix(
+            diag=self.diag,
+            off=coef,
+            neighbors=self.neighbors,
+            offsets=None,
+            plan=p,
+            slice_layout=True,
+        )
 
     def with_values(self, diag, off) -> "EllMatrix":
         return EllMatrix(
@@ -62,18 +101,32 @@ class EllMatrix:
             off=off,
             neighbors=self.neighbors,
             offsets=self.offsets,
+            plan=self.plan,
+            slice_layout=self.slice_layout,
         )
 
     def jacobi_preconditioned(self):
         """Return (D^-1 A, D^-1) applied form: scales rows by 1/diag
         (reference: linear_algebra.rs:157-168)."""
         inv_d = 1.0 / self.diag
+        if self.slice_layout:
+            p = self.plan
+            batch = self.diag.shape[:-1]
+            cpad = p.ntiles * p.tile - p.n_cells
+            inv_d_t = jnp.pad(
+                inv_d, [(0, 0)] * len(batch) + [(0, cpad)]
+            ).reshape(*batch, p.ntiles, 1, p.tile)
+            off_scaled = self.off * inv_d_t
+        else:
+            off_scaled = self.off * inv_d[..., None]
         return (
             EllMatrix(
                 diag=jnp.ones_like(self.diag),
-                off=self.off * inv_d[..., None],
+                off=off_scaled,
                 neighbors=self.neighbors,
                 offsets=self.offsets,
+                plan=self.plan,
+                slice_layout=self.slice_layout,
             ),
             inv_d,
         )
@@ -132,3 +185,32 @@ def ell_spmv(diag, off, neighbors, x, offsets=None):
         return y
     xg = x[..., neighbors]  # [..., C, K]
     return diag * x + jnp.sum(off * xg, axis=-1)
+
+
+def slice_spmv(diag, coef, plan, x):
+    """Gather-free SpMV over a slice plan (mesh/reorder.py).
+
+    coef: [..., ntiles, n_max, T] slice-column coefficients (from
+    EllMatrix.prepare()); x: [..., C]. Each (tile, column) contributes
+    coef[t, j, :] * x_padded[starts[t, j] : +T] — a contiguous dynamic
+    slice, which XLA lowers to a gather with slice_sizes=(T,) (near-DMA
+    speed on TPU, unlike element gathers).
+    """
+    from jax import lax
+
+    T, C = plan.tile, plan.n_cells
+    batch = x.shape[:-1]
+    xp = jnp.pad(
+        x, [(0, 0)] * len(batch) + [(plan.pad_lo, plan.pad_hi)]
+    )
+
+    def one(s):
+        return lax.dynamic_slice_in_dim(xp, s, T, axis=-1)  # [..., T]
+
+    g = jax.vmap(jax.vmap(one))(plan.starts)  # [ntiles, n_max, ..., T]
+    if batch:
+        g = jnp.moveaxis(g, tuple(range(2, 2 + len(batch))), tuple(range(len(batch))))
+    # [..., ntiles, n_max, T] — matches coef's layout elementwise.
+    y_off = jnp.sum(coef * g, axis=-2)  # [..., ntiles, T]
+    y_off = y_off.reshape(*batch, plan.ntiles * T)[..., :C]
+    return diag * x + y_off

@@ -180,6 +180,7 @@ def initialize_pressure_field(mesh: CompiledMesh, table: BoundaryTable):
         off=jnp.where(interior, -a_int, 0.0),
         neighbors=mesh.cell_neighbors,
         offsets=mesh.neighbor_offsets,
+        plan=mesh.slice_plan,
     )
     p, _ = iterative_solve(A, b, jnp.zeros_like(b), _INIT_SOLVER_P)
     return p
@@ -215,6 +216,7 @@ def initialize_velocity_field(mesh: CompiledMesh, table: BoundaryTable):
         off=jnp.where(interior, -a_int, 0.0),
         neighbors=mesh.cell_neighbors,
         offsets=mesh.neighbor_offsets,
+        plan=mesh.slice_plan,
     )
     psi, _ = iterative_solve(A, b, jnp.zeros_like(b), _INIT_SOLVER_PSI)
 
@@ -346,7 +348,10 @@ def initialize_flow_ramp(
         blend_off = (1.0 - f) * A3.off + f * diff.off[None, :, :]
 
         def solve_one(dg, of, bb, x0):
-            Ai = EllMatrix(diag=dg, off=of, neighbors=A3.neighbors)
+            Ai = EllMatrix(
+                diag=dg, off=of, neighbors=A3.neighbors,
+                offsets=A3.offsets, plan=A3.plan,
+            )
             x, _ = iterative_solve(Ai, bb, x0, solver)
             return x
 

@@ -98,9 +98,7 @@ def _mv(A: EllMatrix, x, refresh):
     term uses the local vector, so halo rows (diag 1, off 0) keep
     Krylov vectors identically zero outside owned cells."""
     if refresh is _no_refresh:
-        from orc_tpu.ops.spmv import ell_spmv
-
-        return ell_spmv(A.diag, A.off, A.neighbors, x, A.offsets)
+        return A.matvec(x)
     xr = refresh(x)
     if A.offsets is not None:
         y = A.diag * x
@@ -302,10 +300,19 @@ def iterative_solve(
     """Solver dispatch mirroring the reference's `iterative_solve`
     (linear_algebra.rs:143-299). Handles a single system; vmap for
     batched systems (see `solve_momentum`)."""
+    method = settings.solver_type
+    if (
+        refresh is _no_refresh
+        and A.plan is not None
+        and method != SolutionMethod.MULTIGRID
+    ):
+        # Irregular-mesh fast path: one-time conversion to the
+        # slice-column layout (mesh/reorder.py) so every SpMV in the
+        # solve runs gather-free.
+        A = A.prepare()
     if settings.preconditioner == PreconditionMethod.JACOBI:
         A, inv_d = A.jacobi_preconditioned()
         b = b * inv_d
-    method = settings.solver_type
     if method == SolutionMethod.JACOBI:
         return jacobi_solve(
             A,

@@ -207,7 +207,8 @@ def simple_step(
     # Batched momentum solve over the shared sparsity.
     def solve_one(diag, off, b, x0):
         Ai = EllMatrix(
-            diag=diag, off=off, neighbors=A3.neighbors, offsets=A3.offsets
+            diag=diag, off=off, neighbors=A3.neighbors, offsets=A3.offsets,
+            plan=A3.plan,
         )
         return iterative_solve(
             Ai,
@@ -372,7 +373,8 @@ def ck_simple_step(
 
     def solve_one(diag, off, b, x0):
         Ai = EllMatrix(
-            diag=diag, off=off, neighbors=A3.neighbors, offsets=A3.offsets
+            diag=diag, off=off, neighbors=A3.neighbors, offsets=A3.offsets,
+            plan=A3.plan,
         )
         return iterative_solve(
             Ai,

@@ -225,6 +225,7 @@ def turbulence_step(
         off=jnp.where(has_wall[:, None], 0.0, A_e.off),
         neighbors=A_e.neighbors,
         offsets=A_e.offsets,
+        plan=A_e.plan,
     )
     b_e = jnp.where(has_wall, eps_wall, b_e)
     e_sol, _ = iterative_solve(
