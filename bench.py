@@ -170,6 +170,15 @@ def main():
         if BASELINE_ITERS_PER_SEC
         else 1.0
     )
+    # Extended metrics FIRST (the round-over-round optimization targets:
+    # 1M-cell cavity ms/iter, SpMV + assembly bandwidth); the graded
+    # headline stays the LAST line so the driver's parser finds it.
+    if os.environ.get("BENCH_EXTENDED", "1") == "1":
+        try:
+            for line in extended_metrics():
+                print(json.dumps(line))
+        except Exception as e:  # never let extras break the headline
+            print(f"extended metrics failed: {e!r}", file=sys.stderr)
     dtype_name = os.environ.get("BENCH_DTYPE", "f64")
     print(
         json.dumps(
@@ -182,6 +191,215 @@ def main():
             }
         )
     )
+
+
+V5E_HBM_GBPS = 819.0
+
+
+def _scan_slope(f, x0, n=512):
+    """Per-step time of f via wide-interval scan-slope timing with a
+    dependent device-to-host barrier (the hardened recipe from
+    scripts/bench_spmv.py — block_until_ready misreports through the
+    axon tunnel)."""
+    import time
+
+    import jax
+    import numpy as np
+    from jax import lax
+
+    def run(n_steps):
+        g = jax.jit(
+            lambda x: jax.tree_util.tree_leaves(
+                lax.scan(lambda c, _: (f(c), None), x, None, length=n_steps)[0]
+            )[0].ravel()[:8]
+        )
+        _ = np.asarray(g(x0))
+        ts = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(g(x0))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    n0 = max(1, n // 8)
+    return (run(n) - run(n0)) / (n - n0)
+
+
+def extended_metrics():
+    """Round-over-round optimization metrics (VERDICT r2 item 8):
+    1M-cell f32 cavity ms/iter, f32 shift-SpMV GB/s vs the HBM
+    roofline, and flux+matrix assembly GB/s at 1M cells."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orc_tpu.mesh import structured_box_mesh
+    from orc_tpu.ops.spmv import ell_spmv
+
+    lines = []
+    n_ext = int(os.environ.get("BENCH_EXT_N", "1024"))
+
+    # --- f32 shift SpMV roofline at 1M cells (1024^2) ---
+    mesh, table = structured_box_mesh(n_ext, n_ext, 1, dtype=jnp.float32)
+    C, K = mesh.cell_neighbors.shape
+    interior = np.asarray(
+        mesh.face_interior[mesh.cell_faces] & mesh.cell_face_mask
+    )
+    rng = np.random.default_rng(0)
+    diag = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((C, K)) * interior, jnp.float32)
+    x = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    t = _scan_slope(
+        lambda v: ell_spmv(diag, off, None, v, mesh.neighbor_offsets), x
+    )
+    gbps = C * 4 * (K + 3) / t / 1e9
+    lines.append(
+        {
+            "metric": f"shift SpMV bandwidth, {n_ext}^2 f32",
+            "value": round(gbps, 1),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps / V5E_HBM_GBPS, 3),  # % roofline
+        }
+    )
+
+    # --- flux + momentum + p-correction assembly bandwidth at 1M ---
+    from orc_tpu.ops.ck_ops import (
+        build_ck_geometry,
+        ck_bc,
+        ck_diffusion,
+        ck_flux,
+        ck_momentum,
+        ck_pressure_correction,
+        nbr_values,
+    )
+    from orc_tpu.ops.fields import device_bc
+    from orc_tpu.utils.settings import NumericalSettings
+
+    from orc_tpu.mesh.zones import FaceCondition
+
+    table.set("TOP_WALL", FaceCondition.WALL, vector_value=(1.0, 0.0, 0.0))
+    zc, zs, zv = device_bc(table, dtype=jnp.float32)
+    ck = build_ck_geometry(mesh, len(table.zone_ids))
+    bc = ck_bc(ck, zc, zs, zv)
+    ud = NumericalSettings()
+    from orc_tpu.utils.settings import (
+        MomentumScheme,
+        PressureInterpolation,
+        VelocityInterpolation,
+    )
+    import dataclasses as _dc
+
+    ud = _dc.replace(
+        ud,
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+    )
+    diff3 = ck_diffusion(mesh, ck, bc, jnp.asarray(1e-3, jnp.float32))
+
+    def assemble(state):
+        vel, p, mom_diag = state
+        vel_nbr = nbr_values(mesh, vel, ck.interior)
+        mom_diag_nbr = nbr_values(mesh, mom_diag, ck.interior)
+        flux = ck_flux(
+            mesh, ck, bc, vel, ud.velocity_interpolation,
+            p=p, mom_diag=mom_diag, mom_diag_nbr=mom_diag_nbr,
+            vel_nbr=vel_nbr,
+        )
+        F = flux * ck.area
+        from orc_tpu.ops.ck_ops import ck_face_pressure
+
+        p_f = ck_face_pressure(mesh, ck, bc, p, ud.pressure_interpolation)
+        A3, b3, _pe = ck_momentum(
+            mesh, ck, bc, ud, 1.0, vel, F, p_f, *diff3
+        )
+        Ap, bp = ck_pressure_correction(mesh, ck, bc, 1.0, F, mom_diag)
+        # Feed outputs back so the scan carries the full assembly.
+        new_vel = vel + 1e-12 * jnp.moveaxis(b3, 0, -1)
+        new_p = p + 1e-12 * bp
+        new_md = mom_diag + 1e-12 * jnp.moveaxis(A3.diag, 0, -1)
+        return (new_vel, new_p, new_md)
+
+    st0 = (
+        jnp.asarray(rng.standard_normal((C, 3)) * 1e-3, jnp.float32),
+        jnp.asarray(rng.standard_normal(C) * 1e-3, jnp.float32),
+        jnp.ones((C, 3), jnp.float32),
+    )
+    t_asm = _scan_slope(assemble, st0, n=128)
+    # Min-algorithmic traffic: read vel 3C + p C + mom_diag 3C; write
+    # momentum off [3,C,K] + diag 3C + b 3C + pc off C,K + diag C + b C
+    # + flux C (f32).
+    bytes_asm = C * 4 * (3 + 1 + 3 + 3 * K + 3 + 3 + K + 1 + 1 + 1)
+    gbps_asm = bytes_asm / t_asm / 1e9
+    lines.append(
+        {
+            "metric": (
+                f"flux+momentum+p-corr assembly bandwidth, {n_ext}^2 f32"
+            ),
+            "value": round(gbps_asm, 1),
+            "unit": "GB/s",
+            "vs_baseline": round(gbps_asm / V5E_HBM_GBPS, 3),
+        }
+    )
+
+    # --- 1M-cell f32 cavity ms/iter (the scale-table headline) ---
+    from orc_tpu.models.cavity import cavity_case
+    from orc_tpu.solver.simple import _make_chunk_runner, initial_state
+    from orc_tpu.utils.settings import (
+        MatrixSolverSettings,
+        PreconditionMethod,
+        RelaxationMode,
+        SolutionMethod,
+    )
+    import time as _time
+
+    mesh_c, table_c = cavity_case(n=n_ext, dtype=jnp.float32)
+    settings = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        pressure_relaxation=0.1,
+        momentum_relaxation=0.7,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=50,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    )
+    zc, zs, zv = device_bc(table_c, dtype=jnp.float32)
+    from orc_tpu.ops.assembly import diffusion_system
+    from orc_tpu.ops.fields import face_bc
+
+    mu = jnp.asarray(1e-3, jnp.float32)
+    fbc = face_bc(mesh_c, zc, zs, zv)
+    diff = diffusion_system(mesh_c, fbc, mu)
+    ck_c = build_ck_geometry(mesh_c, len(table_c.zone_ids))
+    ck_diff = ck_diffusion(mesh_c, ck_c, ck_bc(ck_c, zc, zs, zv), mu)
+    n_it = 25
+    run = _make_chunk_runner(
+        mesh_c, settings, diff, n_it, {}, ck=ck_c, ck_diff=ck_diff
+    )
+    state = initial_state(mesh_c)
+    state, _ = run(state, zc, zs, zv, 1.0, 1e-3)
+    _ = np.asarray(state.p[:8])
+    times = []
+    for _i in range(5):
+        t0 = _time.perf_counter()
+        state, _ = run(state, zc, zs, zv, 1.0, 1e-3)
+        _ = np.asarray(state.p[:8])
+        times.append(_time.perf_counter() - t0)
+    ms_iter = sorted(times)[len(times) // 2] / n_it * 1e3
+    lines.append(
+        {
+            "metric": f"cavity {n_ext}^2 f32 UD BiCGSTAB(50), one chip",
+            "value": round(ms_iter, 2),
+            "unit": "ms/iter",
+            # round-2 scale-table value 12.1 ms/iter as the baseline
+            "vs_baseline": round(12.1 / ms_iter, 3),
+        }
+    )
+    return lines
 
 
 if __name__ == "__main__":

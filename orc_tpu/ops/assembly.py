@@ -166,6 +166,30 @@ def momentum_system(
             jnp.where(same[..., None], a_cd, a_tvd),
             a_ud,  # boundary faces use UD (discretization.rs:235-239)
         )
+    elif scheme == MomentumScheme.TVD_DC:
+        # Deferred-correction TVD (see MomentumScheme.TVD_DC): implicit
+        # UD matrix + explicit limited increment, computed from the
+        # UPWIND side of each face so both rows sharing a face subtract
+        # the same face value (exact conservation, unlike the
+        # reference's in-matrix TVD).
+        if settings.tvd_psi is None or grad_vel is None:
+            raise ValueError("TVD_DC momentum requires tvd_psi and grad_vel")
+        psi = settings.tvd_psi
+        nbr = mesh.cell_neighbors
+        a_nb = jnp.minimum(Fv, 0.0) * jnp.ones((1, 1, 3), F.dtype)
+        r_cd = sgn[..., None] * take(mesh.face_r_on, cf)  # c -> neighbor
+        d_cd = take(vel, nbr) - vel[:, None, :]  # [C,K,3]
+        up_is_c = (F > 0)[..., None]
+        delta = jnp.where(up_is_c, d_cd, -d_cd)  # phi_D - phi_U
+        g_c = jnp.einsum("cij,ckj->cki", grad_vel, r_cd)
+        g_n = jnp.einsum("ckij,ckj->cki", take(grad_vel, nbr), -r_cd)
+        gdotr = jnp.where(up_is_c, g_c, g_n)  # grad_U . r_UD
+        safe = jnp.where(delta == 0.0, 1.0, delta)
+        r = 2.0 * gdotr / safe - 1.0
+        corr = jnp.where(delta == 0.0, 0.0, psi(r) / 2.0 * delta)
+        s_dc = -jnp.sum(
+            jnp.where(interior[..., None], Fv * corr, 0.0), axis=1
+        )
     else:
         raise NotImplementedError(f"momentum scheme {scheme}")
     a_nb = jnp.where(m[..., None], a_nb, 0.0)

@@ -511,6 +511,29 @@ def ck_momentum(
         a_nb = jnp.where(
             ck.interior[..., None], jnp.where(same[..., None], a_cd, a_tvd), a_ud
         )
+    elif scheme == MomentumScheme.TVD_DC:
+        # Deferred-correction TVD (assembly.momentum_system TVD_DC, the
+        # gather-free version): implicit UD matrix + explicit limited
+        # increment from the upwind side (conservative by construction).
+        if settings.tvd_psi is None or grad_vel is None:
+            raise ValueError("TVD_DC momentum requires tvd_psi and grad_vel")
+        psi = settings.tvd_psi
+        a_nb = jnp.minimum(Fv, 0.0) * jnp.ones((1, 1, 3), F.dtype)
+        v_c = vel[:, None, :]
+        v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel, ck.interior)
+        g_n = nbr_values(mesh, grad_vel, ck.interior)
+        d_cd = v_n - v_c
+        up_is_c = (Fv > 0)
+        delta = jnp.where(up_is_c, d_cd, -d_cd)  # phi_D - phi_U
+        g_c = jnp.einsum("cij,ckj->cki", grad_vel, ck.r_on)
+        g_nb = -jnp.sum(g_n * ck.r_on[..., None, :], axis=-1)
+        gdotr = jnp.where(up_is_c, g_c, g_nb)  # grad_U . r_UD
+        safe = jnp.where(delta == 0.0, 1.0, delta)
+        r = 2.0 * gdotr / safe - 1.0
+        corr = jnp.where(delta == 0.0, 0.0, psi(r) / 2.0 * delta)
+        s_dc = -jnp.sum(
+            jnp.where(ck.interior[..., None], Fv * corr, 0.0), axis=1
+        )
     else:
         raise NotImplementedError(f"momentum scheme {scheme}")
     a_nb = jnp.where(ck.mask[..., None], a_nb, 0.0)

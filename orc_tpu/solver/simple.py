@@ -182,7 +182,8 @@ def simple_step(
         comm.refresh(
             velocity_gradient(mesh, fbc, vel, settings.gradient_reconstruction)
         )
-        if settings.momentum in (MomentumScheme.TVD, MomentumScheme.CD2)
+        if settings.momentum
+        in (MomentumScheme.TVD, MomentumScheme.TVD_DC, MomentumScheme.CD2)
         else None
     )
 
@@ -350,7 +351,8 @@ def ck_simple_step(
     gv_fn = ck_lsq_velocity_gradient if lsq else ck_velocity_gradient
     grad_v = (
         comm.refresh(gv_fn(mesh, ck, bc, vel, vel_nbr=vel_nbr))
-        if settings.momentum in (MomentumScheme.TVD, MomentumScheme.CD2)
+        if settings.momentum
+        in (MomentumScheme.TVD, MomentumScheme.TVD_DC, MomentumScheme.CD2)
         else None
     )
     mom_diag_nbr = nbr_values(mesh, mom_diag, ck.interior)

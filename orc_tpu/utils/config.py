@@ -79,6 +79,11 @@ _MOMENTUM = {
     "tvd_lud": (MomentumScheme.TVD, tvd_lud),
     "tvd_quick": (MomentumScheme.TVD, tvd_quick),
     "tvd_umist": (MomentumScheme.TVD, tvd_umist),
+    # Deferred-correction TVD (orc_tpu extension; see
+    # MomentumScheme.TVD_DC) — the conservative second-order scheme.
+    "tvd_dc_lud": (MomentumScheme.TVD_DC, tvd_lud),
+    "tvd_dc_quick": (MomentumScheme.TVD_DC, tvd_quick),
+    "tvd_dc_umist": (MomentumScheme.TVD_DC, tvd_umist),
 }
 
 

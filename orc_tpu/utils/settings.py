@@ -48,6 +48,17 @@ class MomentumScheme(enum.Enum):
     CD1 = "cd1"  # central differencing (arithmetic mean)
     CD2 = "cd2"  # gradient-corrected CD (second order on arbitrary grids)
     TVD = "tvd"  # flux-limited; psi(r) supplied via NumericalSettings.tvd_psi
+    # Deferred-correction TVD (orc_tpu extension): implicit part is pure
+    # UD; the limited higher-order increment psi(r)/2 * (phi_D - phi_U)
+    # moves to the RHS, evaluated ONCE per face from the upwind side so
+    # both adjacent cells see the same face value. The reference's
+    # in-matrix TVD (discretization.rs:233-287) silently uses a CD face
+    # value on every inflow face (its r formula evaluates
+    # (phi_downstream - phi_cell) with downstream == cell when f_i < 0,
+    # which is identically zero and falls into the velocities-equal CD
+    # branch) — non-conservative and first-order in recirculating flow.
+    # TVD_DC is the production second-order scheme.
+    TVD_DC = "tvd_dc"
 
 
 class DiffusionScheme(enum.Enum):

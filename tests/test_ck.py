@@ -83,6 +83,17 @@ SCHEMES = {
             preconditioner=PreconditionMethod.JACOBI,
         ),
     ),
+    "tvd_dc": NumericalSettings(
+        momentum=MomentumScheme.TVD_DC,
+        tvd_psi=tvd_umist,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=25,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    ),
     # Least-squares gradients on the ck path (gather-free LSQ rows from
     # CKGeometry.r_on) vs the face-major LSQ — with TVD so both the
     # pressure- and velocity-gradient variants are exercised.
