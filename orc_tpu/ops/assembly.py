@@ -98,11 +98,15 @@ def momentum_system(
     Fv = F[..., None]  # broadcast over components
 
     scheme = settings.momentum
-    s_dc = 0.0  # deferred-correction source (CD2)
+    s_dc = 0.0  # deferred-correction source (CD2/TVD_DC)
+    # UD/CD1(/TVD_DC)'s advection coefficients are component-independent:
+    # the three momentum systems then share ONE matrix ([C]/[C,K]
+    # instead of [3,C]/[3,C,K]) and the batched solve broadcasts it —
+    # 3x less coefficient memory AND 3x less SpMV traffic.
     if scheme == MomentumScheme.UD:
-        a_nb = jnp.minimum(Fv, 0.0) * jnp.ones((1, 1, 3), F.dtype)
+        a_nb = jnp.minimum(F, 0.0)  # [C,K], shared
     elif scheme == MomentumScheme.CD1:
-        a_nb = Fv / 2.0 * jnp.ones((1, 1, 3), F.dtype)
+        a_nb = F / 2.0  # [C,K], shared
     elif scheme == MomentumScheme.CD2:
         # Gradient-corrected CD: implicit CD1 stencil plus an explicit
         # deferred correction 0.5*(grad_C . r_Cf + grad_D . r_Df), which
@@ -176,7 +180,7 @@ def momentum_system(
             raise ValueError("TVD_DC momentum requires tvd_psi and grad_vel")
         psi = settings.tvd_psi
         nbr = mesh.cell_neighbors
-        a_nb = jnp.minimum(Fv, 0.0) * jnp.ones((1, 1, 3), F.dtype)
+        a_nb = jnp.minimum(F, 0.0)  # [C,K]: the UD matrix, shared
         r_cd = sgn[..., None] * take(mesh.face_r_on, cf)  # c -> neighbor
         d_cd = take(vel, nbr) - vel[:, None, :]  # [C,K,3]
         up_is_c = (F > 0)[..., None]
@@ -192,11 +196,18 @@ def momentum_system(
         )
     else:
         raise NotImplementedError(f"momentum scheme {scheme}")
-    a_nb = jnp.where(m[..., None], a_nb, 0.0)
+    shared = a_nb.ndim == 2  # component-independent matrix (UD/CD1/TVD_DC)
+    if shared:
+        a_nb = jnp.where(m, a_nb, 0.0)
+        a_p = jnp.sum(jnp.where(m, -a_nb + F, 0.0), axis=1)  # [C]
+        a_nb_src = a_nb[..., None]  # for the Dirichlet vector source
+    else:
+        a_nb = jnp.where(m[..., None], a_nb, 0.0)
+        a_p = jnp.sum(jnp.where(m[..., None], -a_nb + Fv, 0.0), axis=1)  # [C,3]
+        a_nb_src = a_nb
 
     # a_p accumulates -a_nb + F over real faces; pressure force source
     # s_u -= n_out * p_f * A  (discretization.rs:290-291).
-    a_p = jnp.sum(jnp.where(m[..., None], -a_nb + Fv, 0.0), axis=1)  # [C,3]
     n_out = sgn[..., None] * take(mesh.face_normal, cf)
     s_u = -jnp.sum(
         jnp.where(m[..., None], n_out * (take(p_face, cf) * area)[..., None], 0.0),
@@ -207,11 +218,11 @@ def momentum_system(
     dirichlet = ((code == WALL) | (code == VELOCITY_INLET)) & m & ~interior
     s_u = s_u + jnp.sum(
         jnp.where(
-            dirichlet[..., None], (a_nb - Fv) * bc_vec, 0.0
+            dirichlet[..., None], (a_nb_src - Fv) * bc_vec, 0.0
         ),
         axis=1,
     )
-    # Deferred-correction (CD2) and user momentum source
+    # Deferred-correction (CD2/TVD_DC) and user momentum source
     # (reference: get_momentum_source_term, solver.rs:698-701 /
     # discretization.rs:171-173 where s_u_dc is a zero TODO).
     s_u = s_u + s_dc
@@ -222,11 +233,10 @@ def momentum_system(
             settings.momentum_source, mesh.cell_centroid, mesh.cell_volume
         )
 
-    # Assemble per-component ELL matrices: off-diag = a_nb + diffusion
-    # off-diag at interior slots; diag = a_p + diffusion diag.
-    off = jnp.where(
-        interior[..., None], a_nb + diff.off[..., None], 0.0
-    )  # [C,K,3]
+    # Assemble the ELL matrices: off-diag = a_nb + diffusion off-diag at
+    # interior slots; diag = a_p + diffusion diag. Shared form: one
+    # [C]/[C,K] matrix for all three components (b stays [3,C]);
+    # per-component form: [3,C]/[3,C,K].
     # Inactive rows (padded / halo cells in sharded runs) get identity
     # rows so the systems stay nonsingular and Krylov vectors stay zero
     # off the owned set.
@@ -235,12 +245,40 @@ def momentum_system(
     s_t = 0.0
     if inertia is not None:
         rv_dt, vel_n = inertia
-        a_t = rv_dt[:, None]
+        a_t = rv_dt if shared else rv_dt[:, None]
         s_t = rv_dt[:, None] * vel_n
-    diag = a_p + diff.diag[:, None] + a_t  # [C,3]
-    b = s_u + diff.b + s_t  # [C,3]
     from orc_tpu.utils.settings import RelaxationMode
 
+    if shared:
+        off = jnp.where(interior, a_nb + diff.off, 0.0)  # [C,K]
+        diag = a_p + diff.diag + a_t  # [C]
+        b = s_u + diff.b + s_t  # [C,3]
+        if settings.relaxation_mode == RelaxationMode.IMPLICIT:
+            alpha = settings.momentum_relaxation
+            b = b + (1.0 - alpha) / alpha * diag[:, None] * vel
+            diag = diag / alpha
+        diag = jnp.where(active, diag, 1.0)
+        b = jnp.where(active[:, None], b, 0.0)
+        pe = jnp.where(
+            active[:, None],
+            (a_p / jnp.where(active, diff.diag, 1.0))[:, None]
+            * jnp.ones((1, 3), a_p.dtype),
+            0.0,
+        )
+        A = EllMatrix(
+            diag=diag,  # [C], shared by u/v/w
+            off=off,  # [C,K]
+            neighbors=mesh.cell_neighbors,
+            offsets=mesh.neighbor_offsets,
+            plan=mesh.slice_plan,
+        )
+        return A, jnp.moveaxis(b, -1, 0), pe
+
+    off = jnp.where(
+        interior[..., None], a_nb + diff.off[..., None], 0.0
+    )  # [C,K,3]
+    diag = a_p + diff.diag[:, None] + a_t  # [C,3]
+    b = s_u + diff.b + s_t  # [C,3]
     if settings.relaxation_mode == RelaxationMode.IMPLICIT:
         alpha = settings.momentum_relaxation
         b = b + (1.0 - alpha) / alpha * diag * vel

@@ -479,10 +479,13 @@ def ck_momentum(
     Fv = F[..., None]
     scheme = settings.momentum
     s_dc = 0.0
+    # UD/CD1/TVD_DC coefficients are component-independent: one shared
+    # [C]/[C,K] matrix for all three components (see
+    # assembly.momentum_system).
     if scheme == MomentumScheme.UD:
-        a_nb = jnp.minimum(Fv, 0.0) * jnp.ones((1, 1, 3), F.dtype)
+        a_nb = jnp.minimum(F, 0.0)  # [C,K], shared
     elif scheme == MomentumScheme.CD1:
-        a_nb = Fv / 2.0 * jnp.ones((1, 1, 3), F.dtype)
+        a_nb = F / 2.0  # [C,K], shared
     elif scheme == MomentumScheme.CD2:
         if grad_vel is None:
             raise ValueError("CD2 momentum requires grad_vel")
@@ -518,7 +521,7 @@ def ck_momentum(
         if settings.tvd_psi is None or grad_vel is None:
             raise ValueError("TVD_DC momentum requires tvd_psi and grad_vel")
         psi = settings.tvd_psi
-        a_nb = jnp.minimum(Fv, 0.0) * jnp.ones((1, 1, 3), F.dtype)
+        a_nb = jnp.minimum(F, 0.0)  # [C,K]: the UD matrix, shared
         v_c = vel[:, None, :]
         v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel, ck.interior)
         g_n = nbr_values(mesh, grad_vel, ck.interior)
@@ -536,9 +539,15 @@ def ck_momentum(
         )
     else:
         raise NotImplementedError(f"momentum scheme {scheme}")
-    a_nb = jnp.where(ck.mask[..., None], a_nb, 0.0)
-
-    a_p = jnp.sum(jnp.where(ck.mask[..., None], -a_nb + Fv, 0.0), axis=1)
+    shared = a_nb.ndim == 2  # component-independent matrix
+    if shared:
+        a_nb = jnp.where(ck.mask, a_nb, 0.0)
+        a_p = jnp.sum(jnp.where(ck.mask, -a_nb + F, 0.0), axis=1)  # [C]
+        a_nb_src = a_nb[..., None]
+    else:
+        a_nb = jnp.where(ck.mask[..., None], a_nb, 0.0)
+        a_p = jnp.sum(jnp.where(ck.mask[..., None], -a_nb + Fv, 0.0), axis=1)
+        a_nb_src = a_nb
     s_u = -jnp.sum(
         jnp.where(
             ck.mask[..., None], ck.n_out * (p_f * ck.area)[..., None], 0.0
@@ -547,7 +556,7 @@ def ck_momentum(
     )
     dirichlet = bc.is_dirichlet_vel & ~ck.interior
     s_u = s_u + jnp.sum(
-        jnp.where(dirichlet[..., None], (a_nb - Fv) * bc.vector, 0.0), axis=1
+        jnp.where(dirichlet[..., None], (a_nb_src - Fv) * bc.vector, 0.0), axis=1
     )
     s_u = s_u + s_dc
     if settings.momentum_source is not None:
@@ -557,18 +566,46 @@ def ck_momentum(
             settings.momentum_source, mesh.cell_centroid, mesh.cell_volume
         )
 
-    off = jnp.where(ck.interior[..., None], a_nb + diff_off[..., None], 0.0)
     active = ck.mask.any(axis=1)
     a_t = 0.0
     s_t = 0.0
     if inertia is not None:
         rv_dt, vel_n = inertia
-        a_t = rv_dt[:, None]
+        a_t = rv_dt if shared else rv_dt[:, None]
         s_t = rv_dt[:, None] * vel_n
-    diag = a_p + diff_diag[:, None] + a_t
-    b = s_u + diff_b + s_t
     from orc_tpu.utils.settings import RelaxationMode
 
+    nbrs = (
+        None if mesh.neighbor_offsets is not None else mesh.cell_neighbors
+    )  # omitted on the shift path (see ck_pressure_correction)
+    if shared:
+        off = jnp.where(ck.interior, a_nb + diff_off, 0.0)  # [C,K]
+        diag = a_p + diff_diag + a_t  # [C]
+        b = s_u + diff_b + s_t  # [C,3]
+        if settings.relaxation_mode == RelaxationMode.IMPLICIT:
+            alpha = settings.momentum_relaxation
+            b = b + (1.0 - alpha) / alpha * diag[:, None] * vel
+            diag = diag / alpha
+        diag = jnp.where(active, diag, 1.0)
+        b = jnp.where(active[:, None], b, 0.0)
+        pe = jnp.where(
+            active[:, None],
+            (a_p / jnp.where(active, diff_diag, 1.0))[:, None]
+            * jnp.ones((1, 3), a_p.dtype),
+            0.0,
+        )
+        A = EllMatrix(
+            diag=diag,  # [C], shared by u/v/w
+            off=off,  # [C,K]
+            neighbors=nbrs,
+            offsets=mesh.neighbor_offsets,
+            plan=mesh.slice_plan,
+        )
+        return A, jnp.moveaxis(b, -1, 0), pe
+
+    off = jnp.where(ck.interior[..., None], a_nb + diff_off[..., None], 0.0)
+    diag = a_p + diff_diag[:, None] + a_t
+    b = s_u + diff_b + s_t
     if settings.relaxation_mode == RelaxationMode.IMPLICIT:
         alpha = settings.momentum_relaxation
         b = b + (1.0 - alpha) / alpha * diag * vel
@@ -583,13 +620,9 @@ def ck_momentum(
     A = EllMatrix(
         diag=jnp.moveaxis(diag, -1, 0),
         off=jnp.moveaxis(off, -1, 0),
-        # Omitted on the shift path (see ck_pressure_correction).
-        neighbors=(
-            None
-            if mesh.neighbor_offsets is not None
-            else mesh.cell_neighbors
-        ),
+        neighbors=nbrs,
         offsets=mesh.neighbor_offsets,
+        plan=mesh.slice_plan,
     )
     return A, jnp.moveaxis(b, -1, 0), pe
 

@@ -344,12 +344,13 @@ def initialize_flow_ramp(
     )
     sol = jnp.moveaxis(vel, -1, 0)
     for f in np.arange(1.0, -0.1, -0.2):
-        blend_diag = (1.0 - f) * A3.diag + f * diff.diag[None, :]
-        blend_off = (1.0 - f) * A3.off + f * diff.off[None, :, :]
+        # UD assembly returns the shared-matrix form ([C]/[C,K]).
+        blend_diag = (1.0 - f) * A3.diag + f * diff.diag
+        blend_off = (1.0 - f) * A3.off + f * diff.off
 
-        def solve_one(dg, of, bb, x0):
+        def solve_one(bb, x0):
             Ai = EllMatrix(
-                diag=dg, off=of, neighbors=A3.neighbors,
+                diag=blend_diag, off=blend_off, neighbors=A3.neighbors,
                 offsets=A3.offsets, plan=A3.plan,
             )
             x, _ = iterative_solve(Ai, bb, x0, solver)
@@ -357,7 +358,7 @@ def initialize_flow_ramp(
 
         import jax
 
-        sol = jax.vmap(solve_one)(blend_diag, blend_off, b3, sol)
+        sol = jax.vmap(solve_one)(b3, sol)
     return FlowState(
         vel=jnp.moveaxis(sol, 0, -1), p=p, mom_diag=jnp.ones((C, 3), mesh.dtype)
     )

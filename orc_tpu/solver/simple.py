@@ -222,9 +222,18 @@ def simple_step(
         )
 
     x0 = jnp.where(active[None, :], jnp.moveaxis(vel, -1, 0), 0.0)  # [3,C]
-    sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
+    if A3.diag.ndim == 1:
+        # Shared matrix (UD/CD1/TVD_DC): broadcast it into the batched
+        # solve — the coefficients are read once for all three systems.
+        sol, info = jax.vmap(solve_one, in_axes=(None, None, 0, 0))(
+            A3.diag, A3.off, b3, x0
+        )
+        md = comm.refresh(A3.diag)
+        new_mom_diag = md[:, None] * jnp.ones((1, 3), md.dtype)
+    else:
+        sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
+        new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
     new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
-    new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
 
     # Pressure-correction system with post-solve velocities and the new
     # momentum diagonals (reference: solver.rs:137-148).
@@ -389,9 +398,18 @@ def ck_simple_step(
         )
 
     x0 = jnp.where(active[None, :], jnp.moveaxis(vel, -1, 0), 0.0)
-    sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
+    if A3.diag.ndim == 1:
+        # Shared matrix (UD/CD1/TVD_DC): broadcast it into the batched
+        # solve — the coefficients are read once for all three systems.
+        sol, info = jax.vmap(solve_one, in_axes=(None, None, 0, 0))(
+            A3.diag, A3.off, b3, x0
+        )
+        md = comm.refresh(A3.diag)
+        new_mom_diag = md[:, None] * jnp.ones((1, 3), md.dtype)
+    else:
+        sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
+        new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
     new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
-    new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
     new_md_nbr = nbr_values(mesh, new_mom_diag, ck.interior)
     new_vel_nbr = nbr_values(mesh, new_vel, ck.interior)
 

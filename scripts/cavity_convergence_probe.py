@@ -30,14 +30,17 @@ def landmark_err(state, n):
     yc = (np.arange(n) + 0.5) / n
     u_mid = u[:, n // 2]
     v_mid = v[n // 2, :]
-    eu = max(
-        abs(u_mid[int(np.argmin(np.abs(yc - yg)))] - ug)
-        for yg, ug in zip(GHIA_Y, GHIA_U)
-    )
-    ev = max(
-        abs(v_mid[int(np.argmin(np.abs(yc - xg)))] - vg)
-        for xg, vg in zip(GHIA_X, GHIA_V)
-    )
+    import os as _os
+
+    u_s = np.interp(GHIA_Y, yc, u_mid)
+    v_s = np.interp(GHIA_X, yc, v_mid)
+    eu = max(abs(us - ug) for us, ug in zip(u_s, GHIA_U))
+    ev = max(abs(vs - vg) for vs, vg in zip(v_s, GHIA_V))
+    if _os.environ.get("PROBE_DETAIL", "0") == "1":
+        for yg, us, ug in zip(GHIA_Y, u_s, GHIA_U):
+            print(f"    u(y={yg:.4f}) = {us: .4f}  ghia {ug: .4f}")
+        for xg, vs, vg in zip(GHIA_X, v_s, GHIA_V):
+            print(f"    v(x={xg:.4f}) = {vs: .4f}  ghia {vg: .4f}")
     return eu, ev
 
 
@@ -63,6 +66,10 @@ def main():
     )
 
     n_final = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    dtype = (
+        jnp.float64 if os.environ.get("DTYPE", "f32") == "f64"
+        else jnp.float32
+    )
     extra_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     re = 1000.0
     scheme = os.environ.get("SCHEME", "ud")
@@ -122,7 +129,7 @@ def main():
 
     state = None
     for i, n in enumerate(levels[:-1]):
-        mesh, table = cavity_case(n=n, lid_velocity=1.0, dtype=jnp.float32)
+        mesh, table = cavity_case(n=n, lid_velocity=1.0, dtype=dtype)
         if state is None:
             state = initial_state(mesh)
         else:
@@ -141,7 +148,7 @@ def main():
               file=sys.stderr, flush=True)
 
     n = n_final
-    mesh, table = cavity_case(n=n, lid_velocity=1.0, dtype=jnp.float32)
+    mesh, table = cavity_case(n=n, lid_velocity=1.0, dtype=dtype)
     if state is not None and len(levels) > 1:
         state = FlowState(
             vel=upsample(state.vel, levels[-2], n),

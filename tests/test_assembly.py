@@ -103,7 +103,9 @@ def test_momentum_system_properties():
     A3, b3, pe = momentum_system(
         mesh, fbc, settings, RHO, vel, flux, p_f, diff
     )
-    assert A3.diag.shape == (3, C)
+    # UD's coefficients are component-independent: one shared matrix
+    # ([C]/[C,K]) for all three components (assembly.momentum_system).
+    assert A3.diag.shape == (C,)
     # With UD, off-diagonals are  min(F,0) - d  <= 0 for every component.
     off = np.asarray(A3.off)
     assert (off <= 1e-14).all()
@@ -181,11 +183,11 @@ def test_tvd_reduces_to_cd_for_linear_field():
     inner_cell = interior.all(axis=1)
     sel = interior & inner_cell[:, None]
     assert sel.any()
-    off_cd = np.asarray(A_cd.off)
-    off_tvd = np.asarray(A_tvd.off)
+    off_cd = np.asarray(A_cd.off)  # CD1: shared [C,K]
+    off_tvd = np.asarray(A_tvd.off)  # TVD: per-component [3,C,K]
     for comp in range(3):
         np.testing.assert_allclose(
-            off_cd[comp][sel], off_tvd[comp][sel], rtol=1e-9, atol=1e-12
+            off_cd[sel], off_tvd[comp][sel], rtol=1e-9, atol=1e-12
         )
 
 

@@ -178,7 +178,7 @@ def test_simple_with_gmg_matches_bicgstab():
             preconditioner=PreconditionMethod.JACOBI,
         )
     )
-    kw = dict(iterations=400, reporting_interval=400, verbose=False)
+    kw = dict(iterations=1000, reporting_interval=1000, verbose=False)
     s_ref, _ = solve_steady(
         mesh, table, base, 1.0, 0.01, state=initial_state(mesh), **kw
     )

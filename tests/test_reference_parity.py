@@ -463,7 +463,13 @@ def test_momentum_parity(case, scheme, vi, pi):
     A_ref, b_ref, pe_ref = ref.momentum(
         vel, p, mom_diag, A_di, b_di, RHO, names[scheme], vi_name, pi_name, psi
     )
-    np.testing.assert_allclose(dense_from_ell(A), A_ref, rtol=1e-10, atol=1e-12)
+    A_dense = dense_from_ell(A)
+    if A_dense.ndim == 2:
+        # Shared-matrix form (UD/CD1 coefficients are component-
+        # independent; see assembly.momentum_system): one [C,C] matrix
+        # stands for all three identical reference matrices.
+        A_dense = np.broadcast_to(A_dense, A_ref.shape)
+    np.testing.assert_allclose(A_dense, A_ref, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(pe), pe_ref, rtol=1e-10, atol=1e-12)
 
