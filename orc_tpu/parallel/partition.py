@@ -195,6 +195,12 @@ def _partition_slab(
         sl = o - w0  # local slots of owned cells
         owned_global[p, sl] = o
         owned_mask[p, sl] = True
+        # Halo (ghost-layer) slots also record their global ids —
+        # consumers distinguish owned vs halo via owned_mask (the
+        # sharded-AMG Galerkin derives coarse scatter targets from
+        # global ids of NEIGHBOR slots, which may be halos).
+        hg = halos[p]
+        owned_global[p, local_of[p, hg]] = hg
         pf = part_faces[p]
         n_f = len(pf)
         face_local = np.full(F, -1, dtype=np.int64)
@@ -386,6 +392,8 @@ def _partition_rcb(
         n_o = len(o)
         owned_global[p, :n_o] = o
         owned_mask[p, :n_o] = True
+        # Halo slots also record their global ids (see slab comment).
+        owned_global[p, c_max : c_max + len(halos[p])] = halos[p]
         pf = part_faces[p]
         n_f = len(pf)
         face_local = np.full(F, -1, dtype=np.int64)

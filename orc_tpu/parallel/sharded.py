@@ -139,16 +139,11 @@ def make_sharded_step(
     fine-level smoother runs distributed; coarse corrections run
     replicated (gmg.gmg_solve_sharded)."""
     if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
-        from orc_tpu.solver.gmg import GmgLevel
-
-        if not (
-            mg_hierarchy
-            and isinstance(mg_hierarchy[0], GmgLevel)
-        ):
-            raise NotImplementedError(
-                "sharded multigrid needs a geometric hierarchy "
-                "(structured mesh, solver/gmg.py); algebraic multigrid "
-                "is single-device"
+        if not mg_hierarchy:
+            raise ValueError(
+                "sharded MULTIGRID needs a host-built hierarchy: "
+                "solver/gmg.py (structured) or solver/amg.py (algebraic, "
+                "built on the GLOBAL mesh)"
             )
     lm = partition.local_mesh
 
@@ -312,6 +307,21 @@ def solve_steady_sharded(
         if dims is not None:
             mg_h = build_gmg_hierarchy(
                 dims, mesh.neighbor_offsets, settings.matrix_solver
+            )
+        else:
+            # Irregular mesh: algebraic hierarchy built on the GLOBAL
+            # mesh; level-0 restriction/Galerkin assemble from owned
+            # rows + psum (amg.multigrid_solve_sharded).
+            from orc_tpu.ops.fields import device_bc as _dbc
+            from orc_tpu.ops.fields import face_bc as _fbc
+            from orc_tpu.ops.assembly import diffusion_system as _dsys
+            from orc_tpu.solver.amg import build_hierarchy
+
+            _z = _dbc(table, mesh.dtype)
+            mg_h = build_hierarchy(
+                mesh,
+                _dsys(mesh, _fbc(mesh, *_z), jnp.asarray(mu, mesh.dtype)),
+                settings.matrix_solver,
             )
 
     run = make_sharded_step(

@@ -48,6 +48,11 @@ class MgLevel:
     coarse_neighbors: jax.Array  # [n_coarse, K_c] i32
     n_coarse: int = dataclasses.field(metadata=dict(static=True))
     k_coarse: int = dataclasses.field(metadata=dict(static=True))
+    # Slice plan for the coarse matrix (mesh/reorder.py): pairwise
+    # aggregation of RCM-ordered fine cells keeps the coarse adjacency
+    # bandwidth ~half the fine one, so every coarse level's smoother
+    # rides the gather-free slice SpMV too.
+    plan: "object | None" = None
 
 
 def _aggregate(
@@ -165,6 +170,12 @@ def build_hierarchy_from_matrix(
         agg = _aggregate(diag, off, neighbors, solver.multigrid_restriction)
         coarse_neighbors, diag_t, off_t, K_c = _coarse_structure(agg, neighbors)
         n_c = int(agg.max()) + 1
+        from orc_tpu.mesh.reorder import build_slice_plan
+
+        plan = build_slice_plan(
+            coarse_neighbors,
+            coarse_neighbors != np.arange(n_c)[:, None],
+        )
         levels.append(
             MgLevel(
                 agg=jnp.asarray(agg, jnp.int32),
@@ -173,6 +184,7 @@ def build_hierarchy_from_matrix(
                 coarse_neighbors=jnp.asarray(coarse_neighbors, jnp.int32),
                 n_coarse=n_c,
                 k_coarse=K_c,
+                plan=plan,
             )
         )
         # Host-side Galerkin of the representative matrix for the next
@@ -196,7 +208,8 @@ def galerkin_values(A: EllMatrix, level: MgLevel):
     )
     flat = flat.reshape(level.n_coarse, stride)
     return EllMatrix(
-        diag=flat[:, 0], off=flat[:, 1:], neighbors=level.coarse_neighbors
+        diag=flat[:, 0], off=flat[:, 1:], neighbors=level.coarse_neighbors,
+        plan=level.plan,
     )
 
 
@@ -207,6 +220,8 @@ def _smooth(A, b, x0, settings: MatrixSolverSettings,
     the halo-refresh hook for distributed fine-level smoothing."""
     from orc_tpu.solver.krylov import _no_refresh
 
+    if (refresh is None or refresh is _no_refresh) and A.plan is not None:
+        A = A.prepare()  # gather-free slice SpMV for the whole smooth
     Ap, inv_d = A.jacobi_preconditioned()
     x, info = bicgstab_solve(
         Ap,
@@ -240,6 +255,99 @@ def multigrid_solve(
         r = b - A.matvec(x)
         x = x + _mg_correction(A, r, 0, settings, hierarchy, axis_sum)
     rn = _norm(b - A.matvec(x), axis_sum)
+    diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
+    return x, SolveInfo(
+        iterations=info0.iterations, residual=rn, diverged=diverged
+    )
+
+
+def multigrid_solve_sharded(
+    A: EllMatrix,
+    b,
+    x0,
+    settings: MatrixSolverSettings,
+    hierarchy: List[MgLevel],
+    axis_sum,
+    refresh,
+    owned_mask,
+    owned_global,
+):
+    """Distributed AMG V-cycle (counterpart of gmg.gmg_solve_sharded):
+    fine-level smoothing runs distributed through the halo-refresh /
+    psum hooks; the level-0 Galerkin product and coarse residual are
+    assembled from each device's OWNED rows and psum'ed, after which
+    every device carries the identical (small) coarse problem and the
+    correction is computed replicated — no collectives below level 0.
+
+    The flat coarse slot of each local matrix entry is derived on
+    device from the global aggregation map: local row i (global id g)
+    scatters its diagonal to agg[g]*stride, and its k-th off-diagonal
+    (local neighbor slot -> global id g_nb) to the coarse column slot
+    of (agg[g], agg[g_nb]) found in `coarse_neighbors` — intra-
+    aggregate entries fold into the coarse diagonal, exactly like the
+    host-side _coarse_structure.
+    """
+    from orc_tpu.ops.layout import take
+    from orc_tpu.solver.krylov import _mv
+
+    x, info0 = _smooth(A, b, x0, settings, axis_sum, refresh=refresh)
+    if hierarchy:
+        level = hierarchy[0]
+        if A.neighbors is None:
+            raise ValueError("sharded AMG needs the local neighbor table")
+        r = b - _mv(A, x, refresh)
+        stride = level.k_coarse + 1
+        n_c = level.n_coarse
+        g = owned_global.astype(jnp.int32)
+        I = take(level.agg, g)  # [L] coarse id of each local row
+        g_nb = take(g, A.neighbors)  # [L,K] global id of local neighbors
+        J = take(level.agg, g_nb)  # [L,K] coarse id across each entry
+        # Column slot of J in coarse row I (K_c-way compare-select).
+        crow = take(level.coarse_neighbors, I)  # [L,K_c]
+        matches = crow[:, None, :] == J[:, :, None]  # [L,K,K_c]
+        slot = jnp.argmax(matches, axis=-1).astype(jnp.int32)  # [L,K]
+        tgt = jnp.where(
+            J == I[:, None],
+            (I * stride)[:, None],  # folds into the coarse diagonal
+            I[:, None] * stride + 1 + slot,
+        )
+        zero = jnp.zeros((), A.diag.dtype)
+        o = owned_mask
+        flat = jnp.zeros((n_c * stride,), A.diag.dtype)
+        flat = flat.at[I * stride].add(jnp.where(o, A.diag, zero))
+        flat = flat.at[tgt.reshape(-1)].add(
+            jnp.where(o[:, None], A.off, zero).reshape(-1)
+        )
+        r_c = jnp.zeros((n_c,), r.dtype).at[I].add(jnp.where(o, r, zero))
+        flat = axis_sum(flat)
+        r_c = axis_sum(r_c)
+        flat = flat.reshape(n_c, stride)
+        cdiag = jnp.where(flat[:, 0] == 0.0, 1.0, flat[:, 0])
+        A_c = EllMatrix(
+            diag=cdiag,
+            off=flat[:, 1:],
+            neighbors=level.coarse_neighbors,
+            plan=level.plan,
+        )
+        # Replicated coarse correction (identical on every device).
+        e_c, _ = _smooth(
+            A_c,
+            r_c,
+            jnp.zeros_like(r_c),
+            settings,
+            iterations=settings.iterations
+            if len(hierarchy) == 1
+            else None,
+        )
+        if len(hierarchy) > 1:
+            # Same cycle as the single-device _mg_correction: recurse on
+            # the restricted residual, then post-smooth at this level.
+            e_c = e_c + _mg_correction(
+                A_c, r_c, 1, settings, hierarchy, _identity_sum
+            )
+            e_c, _ = _smooth(A_c, r_c, e_c, settings)
+        x = x + jnp.where(owned_mask, take(e_c, I), 0.0)
+    rn = _norm(b - _mv(A, x, refresh), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
     return x, SolveInfo(
         iterations=info0.iterations, residual=rn, diverged=diverged

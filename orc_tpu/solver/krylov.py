@@ -374,7 +374,15 @@ def iterative_solve(
                     mg_owned[0], mg_owned[1],
                 )
             return gmg_solve(A, b, x0, settings, mg_hierarchy, axis_sum)
-        from orc_tpu.solver.amg import multigrid_solve
+        from orc_tpu.solver.amg import (
+            multigrid_solve,
+            multigrid_solve_sharded,
+        )
 
+        if mg_owned is not None:  # sharded run (shard_map context)
+            return multigrid_solve_sharded(
+                A, b, x0, settings, mg_hierarchy, axis_sum, refresh,
+                mg_owned[0], mg_owned[1],
+            )
         return multigrid_solve(A, b, x0, settings, mg_hierarchy, axis_sum)
     raise NotImplementedError(f"solution method {method}")

@@ -158,13 +158,14 @@ def main():
     else:
         state = initial_state(mesh)
 
-    chunk = 20000
+    chunk = int(os.environ.get("CHUNK", "20000"))
+    rep = int(os.environ.get("REPORT", "1000"))
     total = 0
     for j in range(extra_chunks):
         t0 = time.perf_counter()
         state, h = solve_steady(
             mesh, table, settings, 1.0, 1.0 / re,
-            state=state, iterations=chunk, reporting_interval=1000,
+            state=state, iterations=chunk, reporting_interval=rep,
             verbose=False,
         )
         total += chunk

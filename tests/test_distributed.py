@@ -303,3 +303,90 @@ def test_slab_ghost_layers_refresh():
                 assert refreshed[p, i] == g, (p, i, g, refreshed[p, i])
                 checked += 1
     assert checked > 0
+
+
+def _irregular_case(n=14, seed=5):
+    """A randomly permuted (-> RCM-reordered at compile) cavity box:
+    no structured offsets, slice plan present (tests/test_reorder.py)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_reorder import _random_irregular_mesh
+
+    mesh, table = _random_irregular_mesh(n, seed=seed)
+    assert mesh.neighbor_offsets is None and mesh.slice_plan is not None
+    return mesh, table
+
+
+def test_sharded_amg_matches_single_device_irregular():
+    """Distributed ALGEBRAIC multigrid on an irregular mesh (fine level
+    distributed, Galerkin/restriction psum-assembled from owned rows,
+    coarse correction replicated — amg.multigrid_solve_sharded) must
+    reproduce the single-device AMG trajectory."""
+    mesh, table = _irregular_case()
+    mg = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.MULTIGRID,
+            iterations=30,
+            multigrid_levels=2,
+            multigrid_smoother_iterations=4,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    )
+    ref_state, _ = solve_steady(
+        mesh, table, mg, 1.0, 0.01,
+        state=initial_state(mesh), iterations=15,
+        reporting_interval=15, verbose=False,
+    )
+    sh_state, _ = solve_steady_sharded(
+        mesh, table, mg, 1.0, 0.01,
+        state=initial_state(mesh), iterations=15,
+        reporting_interval=15, n_devices=4, verbose=False,
+        partition_method="rcb", use_ck=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.vel), np.asarray(ref_state.vel),
+        rtol=1e-8, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.p), np.asarray(ref_state.p),
+        rtol=1e-8, atol=1e-12,
+    )
+
+
+def test_sharded_3x3_cube_matches_single_device(reference_mesh_dir):
+    """The reference's own mixed-cell TGRID mesh (3x3_cube.msh),
+    RCB-partitioned and solved sharded, must match the single-device
+    run — the distributed tier on the reference's mesh class
+    (VERDICT r2 item 7)."""
+    import os
+
+    from orc_tpu.mesh import read_mesh
+
+    mesh, table = read_mesh(os.path.join(reference_mesh_dir, "3x3_cube.msh"))
+    table.set("INLET", FaceCondition.PRESSURE_INLET, scalar_value=1.0)
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("PERIODIC_-Z", FaceCondition.WALL)
+    table.set("PERIODIC_+Z", FaceCondition.WALL)
+    ref_state, _ = solve_steady(
+        mesh, table, SETTINGS, 1.0, 0.01,
+        state=initial_state(mesh), iterations=25,
+        reporting_interval=25, verbose=False,
+    )
+    sh_state, _ = solve_steady_sharded(
+        mesh, table, SETTINGS, 1.0, 0.01,
+        state=initial_state(mesh), iterations=25,
+        reporting_interval=25, n_devices=4, verbose=False,
+        partition_method="rcb", use_ck=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.vel), np.asarray(ref_state.vel),
+        rtol=1e-8, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.p), np.asarray(ref_state.p),
+        rtol=1e-8, atol=1e-12,
+    )
