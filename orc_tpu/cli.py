@@ -144,6 +144,29 @@ def cmd_run(args):
             reporting_interval=case.reporting_interval,
             n_devices=n_dev,
         )
+    elif case.sequencing:
+        from orc_tpu.solver.sequencing import solve_steady_sequenced
+        from orc_tpu.utils.config import sequencing_schedule
+
+        seq = dict(case.sequencing)
+        schedule = sequencing_schedule(case)
+
+        def case_builder(nx, ny, nz):
+            m, t = build_problem(case, dims=(nx, ny, nz))
+            return m, t
+
+        state, histories = solve_steady_sequenced(
+            case_builder,
+            schedule,
+            case.settings,
+            case.rho,
+            case.mu,
+            iterations_per_level=int(seq.get("iterations_per_level", 4000)),
+            final_iterations=case.iterations,
+            reporting_interval=case.reporting_interval,
+        )
+        # Final level == the case mesh; keep its history for outputs.
+        history = histories[-1]
     else:
         from orc_tpu.solver.simple import solve_steady
 

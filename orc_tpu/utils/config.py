@@ -94,6 +94,12 @@ class Case:
     iterations: int
     reporting_interval: int
     time: Optional[dict]  # {dt, steps, inner_iterations} -> transient run
+    # Mesh-sequencing cascade ([case.sequencing], solver/sequencing.py):
+    # {dims = [[nx,ny,nz], ...]} explicit coarse->fine schedule, or
+    # {levels = N} halving the generated dims N-1 times; plus optional
+    # iterations_per_level (default 4000). Final-level iteration count
+    # is case.iterations. Only for generated structured boxes.
+    sequencing: Optional[dict]
     turbulence: Optional[dict]  # {model, intensity, length_scale, u_ref}
     data_file: Optional[str]
     gradients_file: Optional[str]
@@ -196,6 +202,7 @@ def parse_case(text: str) -> Case:
         iterations=int(case.get("iterations", 100)),
         reporting_interval=int(case.get("reporting_interval", 10)),
         time=doc.get("time"),
+        sequencing=case.get("sequencing"),
         turbulence=doc.get("turbulence"),
         data_file=case.get("data_file"),
         gradients_file=case.get("gradients_file"),
@@ -219,13 +226,21 @@ def load_case(path: str) -> Case:
         return parse_case(f.read())
 
 
-def build_problem(case: Case):
-    """(mesh, table) with BCs from the case file applied."""
+def build_problem(case: Case, dims=None):
+    """(mesh, table) with BCs from the case file applied.
+
+    `dims=(nx, ny, nz)` overrides the generated box resolution (the
+    mesh-sequencing cascade rebuilds each level through this)."""
     need_nodes = (
         case.settings.gradient_reconstruction
         == GradientReconstruction.GREEN_GAUSS_NODE
     )
     if case.mesh_path:
+        if dims is not None:
+            raise ValueError(
+                "[case.sequencing] needs [case.generate] (a TGRID mesh "
+                "file cannot be re-generated at coarser resolutions)"
+            )
         from orc_tpu.mesh import read_mesh
 
         mesh, table = read_mesh(case.mesh_path, nodes=need_nodes)
@@ -239,10 +254,11 @@ def build_problem(case: Case):
                 "`mesh` at it instead of using [case.generate]"
             )
         g = dict(case.generate)
+        if dims is None:
+            dims = (int(g.get("nx", 8)), int(g.get("ny", 8)),
+                    int(g.get("nz", 1)))
         mesh, table = structured_box_mesh(
-            int(g.get("nx", 8)),
-            int(g.get("ny", 8)),
-            int(g.get("nz", 1)),
+            *dims,
             lengths=tuple(g.get("lengths", (1.0, 1.0, 1.0))),
             periodic=tuple(g.get("periodic", ())),
         )
@@ -377,3 +393,26 @@ devices = 1                           # or "all" for a sharded run
 # steps = 100
 # inner_iterations = 15
 """
+
+
+def sequencing_schedule(case: Case):
+    """Coarse->fine (nx, ny, nz) schedule from [case.sequencing]."""
+    if not case.sequencing:
+        return None
+    seq = dict(case.sequencing)
+    if "dims" in seq:
+        dims = [tuple(int(d) for d in row) for row in seq["dims"]]
+        if any(len(d) != 3 for d in dims):
+            raise ValueError("sequencing.dims rows must be [nx, ny, nz]")
+        return dims
+    levels = int(seq.get("levels", 1))
+    g = dict(case.generate or {})
+    fine = (int(g.get("nx", 8)), int(g.get("ny", 8)), int(g.get("nz", 1)))
+    dims = [fine]
+    for _ in range(levels - 1):
+        nx, ny, nz = dims[0]
+        coarser = tuple(max(1, d // 2) if d > 1 else d for d in (nx, ny, nz))
+        if coarser == dims[0]:
+            break
+        dims.insert(0, coarser)
+    return dims

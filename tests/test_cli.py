@@ -250,3 +250,66 @@ type = "symmetry"
     u_exact = 1.0 / (2 * 0.1) * y * (1 - y)
     err = np.abs(u.mean(axis=1) - u_exact).max() / u_exact.max()
     assert err < 5e-3, err
+
+
+def test_run_sequenced_case(tmp_path):
+    """[case.sequencing] drives the grid cascade from the CLI
+    (solver/sequencing.py surfaced in TOML — VERDICT r2 item 9)."""
+    case = tmp_path / "seq.toml"
+    out = tmp_path / "seq.csv"
+    case.write_text(
+        f"""
+[case]
+iterations = 30
+reporting_interval = 30
+data_file = "{out}"
+
+[case.generate]
+nx = 16
+ny = 16
+nz = 1
+lengths = [1.0, 1.0, 0.0625]
+
+[case.sequencing]
+levels = 3
+iterations_per_level = 20
+
+[fluid]
+rho = 1.0
+mu = 0.01
+
+[numerics]
+momentum = "ud"
+pressure_interpolation = "linear_weighted"
+velocity_interpolation = "linear_weighted"
+relaxation_mode = "implicit"
+momentum_relaxation = 0.7
+pressure_relaxation = 0.1
+
+[numerics.solver]
+type = "bicgstab"
+iterations = 25
+preconditioner = "jacobi"
+
+[boundaries.TOP_WALL]
+type = "wall"
+velocity = [1.0, 0.0, 0.0]
+
+[boundaries."PERIODIC_-Z"]
+type = "symmetry"
+
+[boundaries."PERIODIC_+Z"]
+type = "symmetry"
+"""
+    )
+    from orc_tpu.cli import main
+
+    rc = main(["run", str(case)])
+    assert rc in (0, None)
+    assert out.exists()
+    import numpy as np
+
+    from orc_tpu.utils.config import load_case, sequencing_schedule
+
+    c = load_case(str(case))
+    assert sequencing_schedule(c) == [(4, 4, 1), (8, 8, 1), (16, 16, 1)]
