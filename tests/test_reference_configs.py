@@ -139,3 +139,38 @@ def test_3x3_cube_solve(reference_mesh_dir):
     u_mean = abs(vel[:, 0].mean())
     assert abs(u_mean - u_analytic) < 0.5 * u_analytic, (u_mean, u_analytic)
     assert np.abs(vel[:, 1:]).max() < 0.05 * u_mean
+
+
+def test_square_duct_refined_matches_analytical():
+    """The 3x3_cube duct physics one refinement level up (9^3 generated
+    unit cube, same pressure-driven Stokes square duct): the bulk
+    velocity must land within 15% of the series solution
+    u_mean = 0.035144 dp a^2 / (mu L) — closing the coarse test's 50%
+    band (VERDICT r2 item 9)."""
+    from orc_tpu.mesh import structured_box_mesh
+
+    mesh, table = structured_box_mesh(9, 9, 9, lengths=(1.0, 1.0, 1.0))
+    table.set("INLET", FaceCondition.PRESSURE_INLET, scalar_value=1.0)
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("TOP_WALL", FaceCondition.WALL)
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set("PERIODIC_-Z", FaceCondition.WALL)
+    table.set("PERIODIC_+Z", FaceCondition.WALL)
+    settings = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        matrix_solver=SOLVER,
+        pressure_relaxation=0.05,
+    )
+    mu, rho = 100.0, 1000.0
+    state, _ = solve_steady(
+        mesh, table, settings, rho, mu,
+        state=initial_state(mesh), iterations=800, reporting_interval=800,
+        verbose=False,
+    )
+    vel = np.asarray(state.vel)
+    assert np.isfinite(vel).all()
+    u_analytic = 0.035144 * 1.0 / mu
+    u_mean = abs(vel[:, 0].mean())
+    assert abs(u_mean - u_analytic) < 0.15 * u_analytic, (u_mean, u_analytic)
