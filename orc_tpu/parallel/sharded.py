@@ -199,7 +199,36 @@ def make_sharded_step(
                     extras, comm=comm,
                 )
 
-        state, metrics = lax.scan(body, state, None, length=n_steps)
+        # Kahan-compensated f32 state accumulation (same mechanism as
+        # the single-device runner — see solver/simple._run_scan).
+        use_comp = (
+            settings.compensated_state
+            and state.vel.dtype == jnp.float32
+        )
+        if use_comp:
+            import dataclasses as _dc
+
+            inner = body
+
+            def body(carry, _):
+                s, cv, cp = carry
+                s2, metrics = inner(s, None)
+                dv = (s2.vel - s.vel) + cv
+                vel = s.vel + dv
+                cv = dv - (vel - s.vel)
+                dp = (s2.p - s.p) + cp
+                p = s.p + dp
+                cp = dp - (p - s.p)
+                return (_dc.replace(s2, vel=vel, p=p), cv, cp), metrics
+
+            (state, _, _), metrics = lax.scan(
+                body,
+                (state, jnp.zeros_like(state.vel), jnp.zeros_like(state.p)),
+                None,
+                length=n_steps,
+            )
+        else:
+            state, metrics = lax.scan(body, state, None, length=n_steps)
         add_axis = lambda t: jax.tree.map(lambda a: a[None], t)
         return add_axis(state), metrics
 

@@ -491,7 +491,7 @@ def _run_scan(
     elif mg_hierarchy is not None:
         extras = dict(mg_hierarchy=mg_hierarchy)
 
-    def body(s, _):
+    def step(s):
         if use_ck:
             return ck_simple_step(
                 mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s, extras
@@ -500,7 +500,35 @@ def _run_scan(
             mesh, zc, zs, zv, settings, rho, mu, diff, s, extras
         )
 
-    return lax.scan(body, state, None, length=n_steps)
+    # Kahan-compensated state accumulation for f32 runs (see
+    # NumericalSettings.compensated_state): without it, per-iteration
+    # increments below f32 epsilon of the fields round away and the
+    # run freezes short of steady state.
+    use_comp = (
+        settings.compensated_state and state.vel.dtype == jnp.float32
+    )
+    if not use_comp:
+        return lax.scan(
+            lambda s, _: step(s), state, None, length=n_steps
+        )
+
+    def body(carry, _):
+        s, cv, cp = carry
+        s2, metrics = step(s)
+        dv = (s2.vel - s.vel) + cv
+        vel = s.vel + dv
+        cv = dv - (vel - s.vel)
+        dp = (s2.p - s.p) + cp
+        p = s.p + dp
+        cp = dp - (p - s.p)
+        s2 = dataclasses.replace(s2, vel=vel, p=p)
+        return (s2, cv, cp), metrics
+
+    comp0 = (jnp.zeros_like(state.vel), jnp.zeros_like(state.p))
+    (state, _, _), metrics = lax.scan(
+        body, (state, *comp0), None, length=n_steps
+    )
+    return state, metrics
 
 
 def _make_chunk_runner(

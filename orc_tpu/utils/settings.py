@@ -233,6 +233,18 @@ class NumericalSettings:
         default_factory=MatrixSolverSettings
     )
     turbulence: TurbulenceModel = TurbulenceModel.NONE
+    # Kahan-compensated accumulation of the outer-loop state (vel, p)
+    # for FLOAT32 runs (f64 runs are unaffected regardless). Near
+    # steady state the per-iteration increments shrink below f32
+    # epsilon of the fields and round away entirely, freezing the run
+    # short of the converged solution (measured: cold-started Re=1000
+    # f32 cavities freeze at grid-INCREASING Ghia error — 0.091/0.113/
+    # 0.185 at 64^2/128^2/256^2 — with p_corr stuck ~1e-5, while the
+    # f64 run converges on; scripts/cavity_grid_study.py). The
+    # compensation arrays extend the effective state precision to
+    # ~2^-48 at the cost of two extra f32 fields and a few axpys per
+    # iteration.
+    compensated_state: bool = True
 
     def __post_init__(self):
         if self.relaxation_mode is None:
