@@ -1,0 +1,509 @@
+"""Fused momentum/pressure-correction assembly kernels (Pallas TPU).
+
+Round-2 measurement (BASELINE.md): the SIMPLE step's assembly fusions
+run at ~25% HBM efficiency at 9.4M cells — XLA materializes [C,K(,3)]
+intermediates (fluxes, face pressures, coefficient scratch) between
+fusion islands. These kernels compute an ENTIRE assembly pass per
+VMEM-resident window: read the cell fields once (u, v, w, p), write
+only what the solver consumes (matrix diag/off + RHS), and keep every
+per-(c,k) intermediate in registers/VMEM.
+
+Scope (the production large-cavity configuration, gated by callers):
+- UNIFORM structured box meshes (UniformCKGeometry: per-column
+  constant geometry, boundary-ness decidable from the cell index);
+- MomentumScheme.UD + Linear/LinearWeighted face velocities and
+  pressures (on a uniform box Linear == LinearWeighted);
+- implicit (Patankar) relaxation; WALL / SYMMETRY / pressure-BC
+  columns specialized statically per column from the zone constants.
+
+The momentum matrix comes out in the SHARED form (diag [C], off [C,K]
+— see assembly.momentum_system): UD coefficients are component-
+independent. Math is pinned against ck_momentum / ck_pressure_
+correction by tests/test_pallas_assembly.py.
+
+Layout mirrors ops/pallas_spmv.py: vectors are [R, 128] row-major
+planes; a flat neighbor offset d = 128 q + s becomes two static lane
+slices of a VMEM window holding [block + halo] rows. Inputs stay in
+HBM (pl.ANY) and are DMA'd per block; outputs are blocked VMEM.
+
+NOTE v5e: f32 only (XLA's x64-emulation cannot feed custom calls).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+BLOCK_ROWS = 256
+
+
+class ColumnSpec(NamedTuple):
+    """Static per-ELL-column description of a uniform box mesh."""
+
+    offset: int  # flat neighbor index delta (0 for z columns of a 2D box)
+    area: float
+    n_out: tuple  # (nx, ny, nz) outward unit normal, column-constant
+    dist_fo: float  # |x_face - x_c|
+    dist_on: float  # interior |x_nbr - x_c|
+    kind: str  # "wall" | "symmetry" | "pressure" (boundary behavior)
+    zone: int  # zone slot (row of the traced bc-values array)
+    # Boundary predicate: cells whose index along `axis` equals `edge`
+    # have this column as a boundary face (axis/edge from the box dims;
+    # axis == -1 -> EVERY cell is boundary in this column, e.g. the z
+    # faces of an nz == 1 slab).
+    axis: int
+    edge: int
+
+
+def _cell_index_planes(start_row, br, dims):
+    """(ix, iy, iz) [br, LANES] i32 planes for flat ids
+    i = 128*(start_row + r) + l."""
+    nx, ny, _ = dims
+    r = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
+    i = (start_row + r) * LANES + l
+    ix = i % nx
+    iy = (i // nx) % ny
+    iz = i // (nx * ny)
+    return i, ix, iy, iz
+
+
+def _interior_mask(col: ColumnSpec, ix, iy, iz, dims):
+    """True where this column's face is interior (f32 0/1 planes are
+    formed by callers)."""
+    if col.axis == -1:
+        return jnp.zeros(ix.shape, jnp.bool_)
+    idx = (ix, iy, iz)[col.axis]
+    return idx != col.edge
+
+
+def _shifted(xb, hr, br, d):
+    """Window rows [hr : hr+br] of xb shifted by flat offset d."""
+    q, s = divmod(d, LANES)
+    base = hr + q
+    if s == 0:
+        return xb[base : base + br, :]
+    return jnp.concatenate(
+        [xb[base : base + br, s:], xb[base + 1 : base + 1 + br, :s]],
+        axis=1,
+    )
+
+
+def _momentum_kernel(
+    cols, dims, hr, br, n_active,
+    params_ref, bc_ref,
+    u_hbm, v_hbm, w_hbm, p_hbm,
+    diag_ref, off_ref, bu_ref, bv_ref, bw_ref,
+):
+    r = pl.program_id(0)
+    start = pl.multiple_of(r * jnp.int32(br), br)
+    W = br + 2 * hr + 1
+    rho = params_ref[0, 0]
+    mu = params_ref[0, 1]
+    alpha = params_ref[0, 2]
+
+    def body(ub, vb, wb, pb, sem):
+        for ref, buf in ((u_hbm, ub), (v_hbm, vb), (w_hbm, wb), (p_hbm, pb)):
+            dma = pltpu.make_async_copy(
+                ref.at[pl.ds(start, W), :], buf, sem
+            )
+            dma.start()
+            dma.wait()
+        i, ix, iy, iz = _cell_index_planes(start, br, dims)
+        active = i < n_active
+        u_c = ub[hr : hr + br, :]
+        v_c = vb[hr : hr + br, :]
+        w_c = wb[hr : hr + br, :]
+        p_c = pb[hr : hr + br, :]
+        zero = jnp.zeros_like(u_c)
+        one = jnp.ones_like(u_c)
+
+        diag = zero
+        bu = zero
+        bv = zero
+        bw = zero
+        for k, col in enumerate(cols):
+            interior = _interior_mask(col, ix, iy, iz, dims)
+            fint = jnp.where(interior, 1.0, 0.0).astype(u_c.dtype)
+            nxk, nyk, nzk = col.n_out
+            if col.offset != 0:
+                u_n = _shifted(ub, hr, br, col.offset)
+                v_n = _shifted(vb, hr, br, col.offset)
+                w_n = _shifted(wb, hr, br, col.offset)
+                p_n = _shifted(pb, hr, br, col.offset)
+            else:
+                u_n, v_n, w_n, p_n = u_c, v_c, w_c, p_c
+            # Face flux (LinearWeighted == Linear on a uniform box):
+            # interior 0.5 (v_c + v_n) . n; boundary per column kind.
+            vn_int = 0.5 * (
+                (u_c + u_n) * nxk + (v_c + v_n) * nyk + (w_c + w_n) * nzk
+            )
+            if col.kind == "pressure":
+                vn_bnd = u_c * nxk + v_c * nyk + w_c * nzk
+            else:  # wall / symmetry: no flux through the face
+                vn_bnd = zero
+            flux = jnp.where(interior, vn_int, vn_bnd)
+            F = flux * (col.area * rho)
+            # UD advection + diffusion.
+            a_nb = jnp.minimum(F, 0.0)
+            d_int = mu * col.area / col.dist_on
+            d_bnd = mu * col.area / col.dist_fo
+            off_k = fint * (a_nb - d_int)
+            off_ref[k] = jnp.where(active, off_k, 0.0)
+            # diag: -a_nb + F on real faces + diffusion.
+            if col.kind == "wall":
+                a_nb_bnd = jnp.minimum(F, 0.0)  # F == 0 at walls -> 0
+                diag = diag + jnp.where(
+                    interior, -a_nb + F + d_int, -a_nb_bnd + F + d_bnd
+                )
+                # Dirichlet sources: (a_nb - F) * v_bc + d_bnd * v_bc
+                # (the diffusion part rides DiffusionSystem.b in the
+                # reference formulation; both fold to d_bnd * v_bc at
+                # F == 0). Wall velocities come from the TRACED zone
+                # table (no recompile on BC value changes).
+                s_w = jnp.where(interior, 0.0, (a_nb_bnd - F) + d_bnd)
+                bu = bu + s_w * bc_ref[col.zone, 0]
+                bv = bv + s_w * bc_ref[col.zone, 1]
+                bw = bw + s_w * bc_ref[col.zone, 2]
+            elif col.kind == "symmetry":
+                diag = diag + jnp.where(interior, -a_nb + F + d_int, 0.0)
+            else:  # pressure BC: advection a_p term, no diffusion
+                diag = diag + jnp.where(
+                    interior, -a_nb + F + d_int, -a_nb + F
+                )
+            # Pressure force: -n_out * p_f * area.
+            if col.kind == "pressure":
+                p_bnd = jnp.full_like(p_c, bc_ref[col.zone, 3])
+            else:
+                p_bnd = p_c
+            p_f = jnp.where(interior, 0.5 * (p_c + p_n), p_bnd)
+            pfA = p_f * col.area
+            if nxk:
+                bu = bu - nxk * pfA
+            if nyk:
+                bv = bv - nyk * pfA
+            if nzk:
+                bw = bw - nzk * pfA
+
+        # Implicit (Patankar) relaxation + inactive padding rows.
+        bu = bu + (1.0 - alpha) / alpha * diag * u_c
+        bv = bv + (1.0 - alpha) / alpha * diag * v_c
+        bw = bw + (1.0 - alpha) / alpha * diag * w_c
+        diag = diag / alpha
+        diag_ref[...] = jnp.where(active, diag, one)
+        bu_ref[...] = jnp.where(active, bu, 0.0)
+        bv_ref[...] = jnp.where(active, bv, 0.0)
+        bw_ref[...] = jnp.where(active, bw, 0.0)
+
+    pl.run_scoped(
+        body,
+        *(
+            pltpu.VMEM((br + 2 * hr + 1, LANES), diag_ref.dtype)
+            for _ in range(4)
+        ),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cols", "dims", "interpret"),
+)
+def momentum_assembly(
+    vel, p, bc_values, cols: tuple, dims: tuple, rho, mu,
+    alpha, interpret: bool = False,
+):
+    """Fused UD momentum assembly on a uniform box.
+
+    vel [C,3], p [C] -> (diag [C], off [C,K], b [3,C]) in the shared-
+    matrix form of assembly.momentum_system. `cols` is a tuple of
+    ColumnSpec; `dims` = (nx, ny, nz) with C == nx*ny*nz. `bc_values`
+    [Z,4] stacks the traced zone tables (vx, vy, vz, pressure); rho /
+    mu / alpha are traced scalars.
+    """
+    C = p.shape[0]
+    K = len(cols)
+    H = max(abs(c.offset) for c in cols)
+    hr = -(-H // LANES) if H else 1
+    R = -(-C // LANES)
+    n_blocks = -(-R // BLOCK_ROWS)
+    Rp = n_blocks * BLOCK_ROWS
+    Cp = Rp * LANES
+
+    def plane(x):
+        return jnp.pad(
+            jnp.pad(x, (0, Cp - C)), (hr * LANES, (hr + 1) * LANES)
+        ).reshape(Rp + 2 * hr + 1, LANES)
+
+    u_p = plane(vel[:, 0])
+    v_p = plane(vel[:, 1])
+    w_p = plane(vel[:, 2])
+    p_p = plane(p)
+
+    kern = functools.partial(
+        _momentum_kernel, tuple(cols), tuple(dims), hr, BLOCK_ROWS, C
+    )
+    params = jnp.stack(
+        [jnp.asarray(rho, p.dtype), jnp.asarray(mu, p.dtype),
+         jnp.asarray(alpha, p.dtype), jnp.zeros((), p.dtype)]
+    )[None, :]
+    bc_values = jnp.asarray(bc_values, p.dtype)
+    z32 = lambda r: jnp.int32(0)
+    out_block = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda r: (r, z32(r)), memory_space=pltpu.VMEM
+    )
+    diag, off, bu, bv, bw = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, LANES), p.dtype),
+            jax.ShapeDtypeStruct((K, Rp, LANES), p.dtype),
+            jax.ShapeDtypeStruct((Rp, LANES), p.dtype),
+            jax.ShapeDtypeStruct((Rp, LANES), p.dtype),
+            jax.ShapeDtypeStruct((Rp, LANES), p.dtype),
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(
+            out_block,
+            pl.BlockSpec(
+                (K, BLOCK_ROWS, LANES),
+                lambda r: (z32(r), r, z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
+            out_block,
+            out_block,
+            out_block,
+        ),
+        interpret=interpret,
+    )(params, bc_values, u_p, v_p, w_p, p_p)
+    diag = diag.reshape(Cp)[:C]
+    off_ck = jnp.moveaxis(off.reshape(K, Cp)[:, :C], 0, -1)  # [C,K]
+    b3 = jnp.stack(
+        [bu.reshape(Cp)[:C], bv.reshape(Cp)[:C], bw.reshape(Cp)[:C]]
+    )
+    return diag, off_ck, b3
+
+
+def _pc_kernel(
+    cols, dims, hr, br, n_active,
+    params_ref,
+    u_hbm, v_hbm, w_hbm, md_hbm,
+    diag_ref, off_ref, b_ref,
+):
+    r = pl.program_id(0)
+    start = pl.multiple_of(r * jnp.int32(br), br)
+    W = br + 2 * hr + 1
+    rho = params_ref[0, 0]
+
+    def body(ub, vb, wb, mb, sem):
+        for ref, buf in ((u_hbm, ub), (v_hbm, vb), (w_hbm, wb), (md_hbm, mb)):
+            dma = pltpu.make_async_copy(
+                ref.at[pl.ds(start, W), :], buf, sem
+            )
+            dma.start()
+            dma.wait()
+        i, ix, iy, iz = _cell_index_planes(start, br, dims)
+        active = i < n_active
+        u_c = ub[hr : hr + br, :]
+        v_c = vb[hr : hr + br, :]
+        w_c = wb[hr : hr + br, :]
+        md_c = mb[hr : hr + br, :]
+        zero = jnp.zeros_like(u_c)
+        diag = zero
+        b = zero
+        for k, col in enumerate(cols):
+            interior = _interior_mask(col, ix, iy, iz, dims)
+            nxk, nyk, nzk = col.n_out
+            if col.offset != 0:
+                u_n = _shifted(ub, hr, br, col.offset)
+                v_n = _shifted(vb, hr, br, col.offset)
+                w_n = _shifted(wb, hr, br, col.offset)
+                md_n = _shifted(mb, hr, br, col.offset)
+            else:
+                u_n, v_n, w_n, md_n = u_c, v_c, w_c, md_c
+            vn_int = 0.5 * (
+                (u_c + u_n) * nxk + (v_c + v_n) * nyk + (w_c + w_n) * nzk
+            )
+            if col.kind == "pressure":
+                vn_bnd = u_c * nxk + v_c * nyk + w_c * nzk
+            else:
+                vn_bnd = zero
+            F2 = jnp.where(interior, vn_int, vn_bnd) * (col.area * rho)
+            b = b - F2
+            # Shared momentum diag: |md * n| == md for unit normals.
+            a_face = 0.5 * (md_c + md_n)
+            a_nb = (rho * col.area * col.area) / a_face
+            a_bnd = (rho * col.area * col.area) / md_c * 0.5
+            off_ref[k] = jnp.where(
+                active & interior, -a_nb, 0.0
+            )
+            diag = diag + jnp.where(interior, a_nb, a_bnd)
+        diag_ref[...] = jnp.where(active, diag, jnp.ones_like(diag))
+        b_ref[...] = jnp.where(active, b, 0.0)
+
+    pl.run_scoped(
+        body,
+        *(
+            pltpu.VMEM((br + 2 * hr + 1, LANES), diag_ref.dtype)
+            for _ in range(4)
+        ),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cols", "dims", "interpret")
+)
+def pc_assembly(
+    vel, mom_diag, cols: tuple, dims: tuple, rho,
+    interpret: bool = False,
+):
+    """Fused pressure-correction assembly on a uniform box.
+
+    vel [C,3] (post-momentum), mom_diag [C] (SHARED momentum diagonal)
+    -> (diag [C], off [C,K], b [C]) matching ck_pressure_correction
+    with LinearWeighted face fluxes.
+    """
+    C = mom_diag.shape[0]
+    K = len(cols)
+    H = max(abs(c.offset) for c in cols)
+    hr = -(-H // LANES) if H else 1
+    R = -(-C // LANES)
+    n_blocks = -(-R // BLOCK_ROWS)
+    Rp = n_blocks * BLOCK_ROWS
+    Cp = Rp * LANES
+
+    def plane(x, fill=0.0):
+        return jnp.pad(
+            jnp.pad(x, (0, Cp - C), constant_values=fill),
+            (hr * LANES, (hr + 1) * LANES),
+            constant_values=fill,
+        ).reshape(Rp + 2 * hr + 1, LANES)
+
+    u_p = plane(vel[:, 0])
+    v_p = plane(vel[:, 1])
+    w_p = plane(vel[:, 2])
+    md_p = plane(mom_diag, fill=1.0)  # avoid 0-division in padding
+
+    kern = functools.partial(
+        _pc_kernel, tuple(cols), tuple(dims), hr, BLOCK_ROWS, C
+    )
+    params = jnp.stack(
+        [jnp.asarray(rho, vel.dtype)] + [jnp.zeros((), vel.dtype)] * 3
+    )[None, :]
+    z32 = lambda r: jnp.int32(0)
+    out_block = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda r: (r, z32(r)), memory_space=pltpu.VMEM
+    )
+    diag, off, b = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, LANES), vel.dtype),
+            jax.ShapeDtypeStruct((K, Rp, LANES), vel.dtype),
+            jax.ShapeDtypeStruct((Rp, LANES), vel.dtype),
+        ),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(
+            out_block,
+            pl.BlockSpec(
+                (K, BLOCK_ROWS, LANES),
+                lambda r: (z32(r), r, z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
+            out_block,
+        ),
+        interpret=interpret,
+    )(params, u_p, v_p, w_p, md_p)
+    return (
+        diag.reshape(Cp)[:C],
+        jnp.moveaxis(off.reshape(K, Cp)[:, :C], 0, -1),
+        b.reshape(Cp)[:C],
+    )
+
+
+def column_specs(mesh, table) -> "tuple | None":
+    """Build the static ColumnSpec tuple from a uniform mesh's
+    ck_constants + zone table, or None when ineligible (non-uniform
+    mesh, unsupported BC kinds, or periodic wrap columns)."""
+    import numpy as np
+
+    from orc_tpu.mesh.zones import FaceCondition
+
+    if mesh.ck_constants is None or mesh.neighbor_offsets is None:
+        return None
+    int_slot, colc = mesh.ck_constants
+    offsets = mesh.neighbor_offsets
+    if len(colc) != len(offsets):
+        return None
+    # Box dims from the offsets: columns come in +/- pairs along axes.
+    from orc_tpu.solver.gmg import infer_box_dims
+
+    dims = infer_box_dims(offsets, mesh.n_cells)
+    if dims is None:
+        return None
+    nx, ny, nz = dims
+    strides = {1: 0, nx: 1, nx * ny: 2}
+    slot_types = {}
+    for zid, fz in table.zones.items():
+        slot_types[table.slot_of_zone[zid]] = fz.zone_type
+    cols = []
+    for k, (off, (area, n_out, dist_fo, dist_on, zslot)) in enumerate(
+        zip(offsets, colc)
+    ):
+        if abs(off) not in strides and off != 0:
+            return None  # periodic wrap column: unsupported here
+        if off == 0:
+            axis, edge = -1, 0
+        else:
+            axis = strides[abs(off)]
+            n_ax = (nx, ny, nz)[axis]
+            if n_ax == 1:
+                axis, edge = -1, 0
+            else:
+                edge = n_ax - 1 if off > 0 else 0
+        zt = slot_types.get(int(zslot))
+        if zt == FaceCondition.WALL:
+            kind = "wall"
+        elif zt == FaceCondition.SYMMETRY:
+            kind = "symmetry"
+        elif zt in (
+            FaceCondition.PRESSURE_INLET,
+            FaceCondition.PRESSURE_OUTLET,
+        ):
+            kind = "pressure"
+        else:
+            return None
+        cols.append(
+            ColumnSpec(
+                offset=int(off),
+                area=float(area),
+                n_out=tuple(float(c) for c in n_out),
+                dist_fo=float(dist_fo),
+                dist_on=float(dist_on),
+                kind=kind,
+                zone=int(zslot),
+                axis=axis,
+                edge=edge,
+            )
+        )
+    return tuple(cols)
+
+
+def bc_value_table(zone_scalar, zone_vector):
+    """[Z,4] traced (vx, vy, vz, pressure) rows from the device zone
+    tables — the kernels read per-column rows with static indices."""
+    return jnp.concatenate(
+        [zone_vector, zone_scalar[:, None]], axis=1
+    )

@@ -311,6 +311,7 @@ def ck_simple_step(
     solver_extras: Optional[dict] = None,
     inertia=None,
     comm: Optional[NullComm] = None,
+    pallas_asm=None,  # static (cols, dims) -> fused assembly kernels
 ):
     """One SIMPLE iteration in the gather-free (c,k)-direct formulation
     (see orc_tpu.ops.ck_ops) — the fast path for structured meshes.
@@ -366,21 +367,49 @@ def ck_simple_step(
     )
     mom_diag_nbr = nbr_values(mesh, mom_diag, ck.interior)
 
-    flux = ck_flux(
-        mesh, ck, bc, vel, settings.velocity_interpolation,
-        p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
-        mom_diag=mom_diag, mom_diag_nbr=mom_diag_nbr, vel_nbr=vel_nbr,
-    )
-    F = flux * ck.area * rho
-    p_f = ck_face_pressure(
-        mesh, ck, bc, p, settings.pressure_interpolation,
-        grad_p=grad_p, grad_p_nbr=grad_p_nbr,
-    )
-    A3, b3, pe = ck_momentum(
-        mesh, ck, bc, settings, rho, vel, F, p_f,
-        diff_diag, diff_off, diff_b, grad_vel=grad_v, vel_nbr=vel_nbr,
-        inertia=inertia,
-    )
+    if pallas_asm is not None:
+        # Fused assembly kernels (ops/pallas_assembly.py): one pass over
+        # the cell fields produces the shared momentum matrix + RHS; no
+        # [C,K] intermediates touch HBM.
+        from orc_tpu.ops.pallas_assembly import (
+            bc_value_table,
+            momentum_assembly,
+        )
+
+        cols, dims, interp = pallas_asm
+        bcv = bc_value_table(zone_scalar, zone_vector)
+        mdiag, moff, b3 = momentum_assembly(
+            vel, p, bcv, cols, dims, rho, mu,
+            settings.momentum_relaxation, interpret=interp,
+        )
+        A3 = EllMatrix(
+            diag=mdiag, off=moff, neighbors=None,
+            offsets=mesh.neighbor_offsets,
+        )
+        safe_dd = jnp.where(active, diff_diag, 1.0)
+        pe = jnp.where(
+            active[:, None],
+            ((settings.momentum_relaxation * mdiag - diff_diag)
+             / safe_dd)[:, None]
+            * jnp.ones((1, 3), mdiag.dtype),
+            0.0,
+        )
+    else:
+        flux = ck_flux(
+            mesh, ck, bc, vel, settings.velocity_interpolation,
+            p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+            mom_diag=mom_diag, mom_diag_nbr=mom_diag_nbr, vel_nbr=vel_nbr,
+        )
+        F = flux * ck.area * rho
+        p_f = ck_face_pressure(
+            mesh, ck, bc, p, settings.pressure_interpolation,
+            grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+        )
+        A3, b3, pe = ck_momentum(
+            mesh, ck, bc, settings, rho, vel, F, p_f,
+            diff_diag, diff_off, diff_b, grad_vel=grad_v, vel_nbr=vel_nbr,
+            inertia=inertia,
+        )
 
     def solve_one(diag, off, b, x0):
         Ai = EllMatrix(
@@ -410,18 +439,31 @@ def ck_simple_step(
         sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
         new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
     new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
-    new_md_nbr = nbr_values(mesh, new_mom_diag, ck.interior)
-    new_vel_nbr = nbr_values(mesh, new_vel, ck.interior)
+    if pallas_asm is not None:
+        from orc_tpu.ops.pallas_assembly import pc_assembly
 
-    flux2 = ck_flux(
-        mesh, ck, bc, new_vel, settings.velocity_interpolation,
-        p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
-        mom_diag=new_mom_diag, mom_diag_nbr=new_md_nbr, vel_nbr=new_vel_nbr,
-    )
-    F2 = flux2 * ck.area * rho
-    Pmat, b_p = ck_pressure_correction(
-        mesh, ck, bc, rho, F2, new_mom_diag, mom_diag_nbr=new_md_nbr
-    )
+        cols, dims, interp = pallas_asm
+        pdiag, poff, b_p = pc_assembly(
+            new_vel, new_mom_diag[:, 0], cols, dims, rho, interpret=interp,
+        )
+        Pmat = EllMatrix(
+            diag=pdiag, off=poff, neighbors=None,
+            offsets=mesh.neighbor_offsets,
+        )
+    else:
+        new_md_nbr = nbr_values(mesh, new_mom_diag, ck.interior)
+        new_vel_nbr = nbr_values(mesh, new_vel, ck.interior)
+
+        flux2 = ck_flux(
+            mesh, ck, bc, new_vel, settings.velocity_interpolation,
+            p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+            mom_diag=new_mom_diag, mom_diag_nbr=new_md_nbr,
+            vel_nbr=new_vel_nbr,
+        )
+        F2 = flux2 * ck.area * rho
+        Pmat, b_p = ck_pressure_correction(
+            mesh, ck, bc, rho, F2, new_mom_diag, mom_diag_nbr=new_md_nbr
+        )
     p_prime, p_info = iterative_solve(
         Pmat,
         b_p,
@@ -476,11 +518,14 @@ CK_AUTO_MAX_CELLS = int(os.environ.get("ORC_TPU_CK_MAX_CELLS", "10000000"))
 
 @partial(
     jax.jit,
-    static_argnames=("settings", "n_steps", "n_colors", "use_ck"),
+    static_argnames=(
+        "settings", "n_steps", "n_colors", "use_ck", "pallas_asm"
+    ),
 )
 def _run_scan(
     mesh, diff, ck, ck_diff, state, zc, zs, zv, rho, mu, colors,
     mg_hierarchy, *, settings, n_steps, n_colors, use_ck,
+    pallas_asm=None,
 ):
     """Module-level jitted scan so repeated solve_steady calls on the
     same mesh/settings reuse the compiled executable (a per-call jit
@@ -494,7 +539,8 @@ def _run_scan(
     def step(s):
         if use_ck:
             return ck_simple_step(
-                mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s, extras
+                mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s, extras,
+                pallas_asm=pallas_asm,
             )
         return simple_step(
             mesh, zc, zs, zv, settings, rho, mu, diff, s, extras
@@ -532,7 +578,8 @@ def _run_scan(
 
 
 def _make_chunk_runner(
-    mesh, settings, diff, n_steps, solver_extras, ck=None, ck_diff=None
+    mesh, settings, diff, n_steps, solver_extras, ck=None, ck_diff=None,
+    pallas_asm=None,
 ):
     """`lax.scan` runner over n_steps SIMPLE iterations.
 
@@ -571,9 +618,51 @@ def _make_chunk_runner(
             n_steps=n_steps,
             n_colors=n_colors,
             use_ck=ck is not None,
+            pallas_asm=pallas_asm,
         )
 
     return run
+
+
+def _pallas_asm_spec(mesh, table, settings, ck):
+    """Static (cols, dims, interpret) for the fused assembly kernels
+    when the configuration is eligible (ops/pallas_assembly.py), else
+    None. Opt out with ORC_TPU_PALLAS_ASM=0; ORC_TPU_PALLAS_ASM=force
+    enables the interpreter path on CPU (tests)."""
+    from orc_tpu.utils.settings import RelaxationMode
+
+    mode = os.environ.get("ORC_TPU_PALLAS_ASM", "1")
+    if (
+        mode == "0"
+        or ck is None
+        or mesh.ck_constants is None
+        or mesh.dtype != jnp.float32
+        or settings.momentum != MomentumScheme.UD
+        or settings.velocity_interpolation
+        not in (
+            VelocityInterpolation.LINEAR,
+            VelocityInterpolation.LINEAR_WEIGHTED,
+        )
+        or settings.pressure_interpolation
+        not in (
+            PressureInterpolation.LINEAR,
+            PressureInterpolation.LINEAR_WEIGHTED,
+        )
+        or settings.relaxation_mode != RelaxationMode.IMPLICIT
+        or settings.momentum_source is not None
+    ):
+        return None
+    on_cpu = jax.default_backend() == "cpu"
+    if on_cpu and mode != "force":
+        return None
+    from orc_tpu.ops.pallas_assembly import column_specs
+    from orc_tpu.solver.gmg import infer_box_dims
+
+    cols = column_specs(mesh, table)
+    dims = infer_box_dims(mesh.neighbor_offsets, mesh.n_cells)
+    if cols is None or dims is None:
+        return None
+    return (cols, tuple(dims), on_cpu)
 
 
 def solve_steady(
@@ -656,6 +745,8 @@ def solve_steady(
             mg_hierarchy=build_mg_hierarchy(mesh, diff, settings)
         )
 
+    pallas_asm = _pallas_asm_spec(mesh, table, settings, ck)
+
     if ck is not None and mesh.neighbor_offsets is not None:
         # Drop this frame's references to the big tables too so the
         # trimmed runner's freeing actually frees (see trim_for_ck).
@@ -666,7 +757,7 @@ def solve_steady(
 
     run = _make_chunk_runner(
         mesh, settings, diff, reporting_interval, solver_extras,
-        ck=ck, ck_diff=ck_diff,
+        ck=ck, ck_diff=ck_diff, pallas_asm=pallas_asm,
     )
     history = []
     done = 0
@@ -675,7 +766,8 @@ def solve_steady(
         n = min(reporting_interval, iterations - done)
         if n != reporting_interval:
             run = _make_chunk_runner(
-                mesh, settings, diff, n, solver_extras, ck=ck, ck_diff=ck_diff
+                mesh, settings, diff, n, solver_extras, ck=ck,
+                ck_diff=ck_diff, pallas_asm=pallas_asm,
             )
         state, metrics = run(state, zc, zs, zv, rho, mu)
         jax.block_until_ready(state)

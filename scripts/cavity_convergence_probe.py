@@ -108,9 +108,18 @@ def main():
         relaxation_mode=RelaxationMode.IMPLICIT,
         matrix_solver=solver,
     )
-    settings = {"tvd": settings_tvd, "dc": settings_dc}.get(
-        scheme, settings_ud
+    settings_cd1 = NumericalSettings(
+        momentum=MomentumScheme.CD1,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        pressure_relaxation=0.1,
+        momentum_relaxation=0.7,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+        matrix_solver=solver,
     )
+    settings = {
+        "tvd": settings_tvd, "dc": settings_dc, "cd1": settings_cd1
+    }.get(scheme, settings_ud)
 
     def upsample(arr, n_from, n_to):
         a = np.asarray(arr)
