@@ -53,34 +53,26 @@ class ColumnSpec(NamedTuple):
     dist_on: float  # interior |x_nbr - x_c|
     kind: str  # "wall" | "symmetry" | "pressure" (boundary behavior)
     zone: int  # zone slot (row of the traced bc-values array)
-    # Boundary predicate: cells whose index along `axis` equals `edge`
-    # have this column as a boundary face (axis/edge from the box dims;
-    # axis == -1 -> EVERY cell is boundary in this column, e.g. the z
-    # faces of an nz == 1 slab).
-    axis: int
-    edge: int
 
 
-def _cell_index_planes(start_row, br, dims):
-    """(ix, iy, iz) [br, LANES] i32 planes for flat ids
-    i = 128*(start_row + r) + l."""
-    nx, ny, _ = dims
-    r = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 0)
-    l = jax.lax.broadcasted_iota(jnp.int32, (br, LANES), 1)
-    i = (start_row + r) * LANES + l
-    ix = i % nx
-    iy = (i // nx) % ny
-    iz = i // (nx * ny)
-    return i, ix, iy, iz
+ACTIVE_BIT = 6  # flag bit marking real (non-padded) cells
 
 
-def _interior_mask(col: ColumnSpec, ix, iy, iz, dims):
-    """True where this column's face is interior (f32 0/1 planes are
-    formed by callers)."""
-    if col.axis == -1:
-        return jnp.zeros(ix.shape, jnp.bool_)
-    idx = (ix, iy, iz)[col.axis]
-    return idx != col.edge
+def pack_flags(interior, mask):
+    """[C] int8 per-cell flags: bit k = column k interior, bit 6 =
+    active row. Runtime integer div/mod on cell indices does not lower
+    on Mosaic (measured: RecursionError in _convert_helper), so
+    boundary-ness ships as one byte per cell instead."""
+    C, K = interior.shape
+    assert K <= ACTIVE_BIT
+    f = jnp.zeros((C,), jnp.int32)
+    for k in range(K):
+        f = f | (interior[:, k].astype(jnp.int32) << k)
+    f = f | (mask.any(axis=1).astype(jnp.int32) << ACTIVE_BIT)
+    # int32 (not int8): Mosaic rejects the int8 block load on v5e
+    # ("failed to legalize operation 'func.return'"); 4 B/cell is still
+    # ~3% of the kernel's traffic.
+    return f
 
 
 def _shifted(xb, hr, br, d):
@@ -96,8 +88,8 @@ def _shifted(xb, hr, br, d):
 
 
 def _momentum_kernel(
-    cols, dims, hr, br, n_active,
-    params_ref, bc_ref,
+    cols, hr, br,
+    params_ref, bc_ref, flags_ref,
     u_hbm, v_hbm, w_hbm, p_hbm,
     diag_ref, off_ref, bu_ref, bv_ref, bw_ref,
 ):
@@ -115,8 +107,8 @@ def _momentum_kernel(
             )
             dma.start()
             dma.wait()
-        i, ix, iy, iz = _cell_index_planes(start, br, dims)
-        active = i < n_active
+        flags = flags_ref[...]
+        active = ((flags >> ACTIVE_BIT) & 1) == 1
         u_c = ub[hr : hr + br, :]
         v_c = vb[hr : hr + br, :]
         w_c = wb[hr : hr + br, :]
@@ -129,8 +121,12 @@ def _momentum_kernel(
         bv = zero
         bw = zero
         for k, col in enumerate(cols):
-            interior = _interior_mask(col, ix, iy, iz, dims)
-            fint = jnp.where(interior, 1.0, 0.0).astype(u_c.dtype)
+            interior = ((flags >> k) & 1) == 1
+            # NOTE: keep every scalar expression anchored to an f32
+            # operand — a pure-python-scalar jnp.where under x64 makes
+            # an f64, which Mosaic cannot lower on v5e (measured:
+            # RecursionError in _convert_helper).
+            fint = jnp.where(interior, one, zero)
             nxk, nyk, nzk = col.n_out
             if col.offset != 0:
                 u_n = _shifted(ub, hr, br, col.offset)
@@ -213,19 +209,19 @@ def _momentum_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cols", "dims", "interpret"),
+    static_argnames=("cols", "interpret"),
 )
 def momentum_assembly(
-    vel, p, bc_values, cols: tuple, dims: tuple, rho, mu,
+    vel, p, bc_values, flags, cols: tuple, rho, mu,
     alpha, interpret: bool = False,
 ):
     """Fused UD momentum assembly on a uniform box.
 
     vel [C,3], p [C] -> (diag [C], off [C,K], b [3,C]) in the shared-
     matrix form of assembly.momentum_system. `cols` is a tuple of
-    ColumnSpec; `dims` = (nx, ny, nz) with C == nx*ny*nz. `bc_values`
-    [Z,4] stacks the traced zone tables (vx, vy, vz, pressure); rho /
-    mu / alpha are traced scalars.
+    ColumnSpec; `flags` [C] int8 from pack_flags; `bc_values` [Z,4]
+    stacks the traced zone tables (vx, vy, vz, pressure); rho / mu /
+    alpha are traced scalars.
     """
     C = p.shape[0]
     K = len(cols)
@@ -246,9 +242,8 @@ def momentum_assembly(
     w_p = plane(vel[:, 2])
     p_p = plane(p)
 
-    kern = functools.partial(
-        _momentum_kernel, tuple(cols), tuple(dims), hr, BLOCK_ROWS, C
-    )
+    kern = functools.partial(_momentum_kernel, tuple(cols), hr, BLOCK_ROWS)
+    flags2 = jnp.pad(flags, (0, Cp - C)).reshape(Rp, LANES)
     params = jnp.stack(
         [jnp.asarray(rho, p.dtype), jnp.asarray(mu, p.dtype),
          jnp.asarray(alpha, p.dtype), jnp.zeros((), p.dtype)]
@@ -269,8 +264,22 @@ def momentum_assembly(
         ),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # Explicit i32 index maps: a full-array VMEM spec
+            # synthesizes i64 zero indices under jax_enable_x64, which
+            # Mosaic fails to legalize ('func.return').
+            pl.BlockSpec(
+                (1, 4), lambda r: (z32(r), z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                bc_values.shape, lambda r: (z32(r), z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, LANES),
+                lambda r: (r, z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
         ]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=(
@@ -285,7 +294,7 @@ def momentum_assembly(
             out_block,
         ),
         interpret=interpret,
-    )(params, bc_values, u_p, v_p, w_p, p_p)
+    )(params, bc_values, flags2, u_p, v_p, w_p, p_p)
     diag = diag.reshape(Cp)[:C]
     off_ck = jnp.moveaxis(off.reshape(K, Cp)[:, :C], 0, -1)  # [C,K]
     b3 = jnp.stack(
@@ -295,8 +304,8 @@ def momentum_assembly(
 
 
 def _pc_kernel(
-    cols, dims, hr, br, n_active,
-    params_ref,
+    cols, hr, br,
+    params_ref, flags_ref,
     u_hbm, v_hbm, w_hbm, md_hbm,
     diag_ref, off_ref, b_ref,
 ):
@@ -312,8 +321,8 @@ def _pc_kernel(
             )
             dma.start()
             dma.wait()
-        i, ix, iy, iz = _cell_index_planes(start, br, dims)
-        active = i < n_active
+        flags = flags_ref[...]
+        active = ((flags >> ACTIVE_BIT) & 1) == 1
         u_c = ub[hr : hr + br, :]
         v_c = vb[hr : hr + br, :]
         w_c = wb[hr : hr + br, :]
@@ -322,7 +331,7 @@ def _pc_kernel(
         diag = zero
         b = zero
         for k, col in enumerate(cols):
-            interior = _interior_mask(col, ix, iy, iz, dims)
+            interior = ((flags >> k) & 1) == 1
             nxk, nyk, nzk = col.n_out
             if col.offset != 0:
                 u_n = _shifted(ub, hr, br, col.offset)
@@ -362,10 +371,10 @@ def _pc_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cols", "dims", "interpret")
+    jax.jit, static_argnames=("cols", "interpret")
 )
 def pc_assembly(
-    vel, mom_diag, cols: tuple, dims: tuple, rho,
+    vel, mom_diag, flags, cols: tuple, rho,
     interpret: bool = False,
 ):
     """Fused pressure-correction assembly on a uniform box.
@@ -395,9 +404,8 @@ def pc_assembly(
     w_p = plane(vel[:, 2])
     md_p = plane(mom_diag, fill=1.0)  # avoid 0-division in padding
 
-    kern = functools.partial(
-        _pc_kernel, tuple(cols), tuple(dims), hr, BLOCK_ROWS, C
-    )
+    kern = functools.partial(_pc_kernel, tuple(cols), hr, BLOCK_ROWS)
+    flags2 = jnp.pad(flags, (0, Cp - C)).reshape(Rp, LANES)
     params = jnp.stack(
         [jnp.asarray(rho, vel.dtype)] + [jnp.zeros((), vel.dtype)] * 3
     )[None, :]
@@ -413,7 +421,17 @@ def pc_assembly(
             jax.ShapeDtypeStruct((Rp, LANES), vel.dtype),
         ),
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4), lambda r: (z32(r), z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, LANES),
+                lambda r: (r, z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=(
             out_block,
@@ -425,7 +443,7 @@ def pc_assembly(
             out_block,
         ),
         interpret=interpret,
-    )(params, u_p, v_p, w_p, md_p)
+    )(params, flags2, u_p, v_p, w_p, md_p)
     return (
         diag.reshape(Cp)[:C],
         jnp.moveaxis(off.reshape(K, Cp)[:, :C], 0, -1),
@@ -464,15 +482,6 @@ def column_specs(mesh, table) -> "tuple | None":
     ):
         if abs(off) not in strides and off != 0:
             return None  # periodic wrap column: unsupported here
-        if off == 0:
-            axis, edge = -1, 0
-        else:
-            axis = strides[abs(off)]
-            n_ax = (nx, ny, nz)[axis]
-            if n_ax == 1:
-                axis, edge = -1, 0
-            else:
-                edge = n_ax - 1 if off > 0 else 0
         zt = slot_types.get(int(zslot))
         if zt == FaceCondition.WALL:
             kind = "wall"
@@ -494,8 +503,6 @@ def column_specs(mesh, table) -> "tuple | None":
                 dist_on=float(dist_on),
                 kind=kind,
                 zone=int(zslot),
-                axis=axis,
-                edge=edge,
             )
         )
     return tuple(cols)

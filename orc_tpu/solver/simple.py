@@ -376,10 +376,13 @@ def ck_simple_step(
             momentum_assembly,
         )
 
-        cols, dims, interp = pallas_asm
+        cols, interp = pallas_asm
+        from orc_tpu.ops.pallas_assembly import pack_flags
+
+        flags = pack_flags(ck.interior, ck.mask)
         bcv = bc_value_table(zone_scalar, zone_vector)
         mdiag, moff, b3 = momentum_assembly(
-            vel, p, bcv, cols, dims, rho, mu,
+            vel, p, bcv, flags, cols, rho, mu,
             settings.momentum_relaxation, interpret=interp,
         )
         A3 = EllMatrix(
@@ -442,9 +445,12 @@ def ck_simple_step(
     if pallas_asm is not None:
         from orc_tpu.ops.pallas_assembly import pc_assembly
 
-        cols, dims, interp = pallas_asm
+        cols, interp = pallas_asm
+        from orc_tpu.ops.pallas_assembly import pack_flags
+
         pdiag, poff, b_p = pc_assembly(
-            new_vel, new_mom_diag[:, 0], cols, dims, rho, interpret=interp,
+            new_vel, new_mom_diag[:, 0], pack_flags(ck.interior, ck.mask),
+            cols, rho, interpret=interp,
         )
         Pmat = EllMatrix(
             diag=pdiag, off=poff, neighbors=None,
@@ -656,13 +662,11 @@ def _pallas_asm_spec(mesh, table, settings, ck):
     if on_cpu and mode != "force":
         return None
     from orc_tpu.ops.pallas_assembly import column_specs
-    from orc_tpu.solver.gmg import infer_box_dims
 
     cols = column_specs(mesh, table)
-    dims = infer_box_dims(mesh.neighbor_offsets, mesh.n_cells)
-    if cols is None or dims is None:
+    if cols is None:
         return None
-    return (cols, tuple(dims), on_cpu)
+    return (cols, on_cpu)
 
 
 def solve_steady(

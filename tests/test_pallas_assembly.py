@@ -92,14 +92,14 @@ def test_momentum_assembly_matches_ck(name):
 
     cols = column_specs(mesh, table)
     assert cols is not None
-    from orc_tpu.ops.pallas_assembly import bc_value_table
-    from orc_tpu.solver.gmg import infer_box_dims
+    from orc_tpu.ops.pallas_assembly import bc_value_table, pack_flags
 
     zc, zs, zv = device_bc(table, dtype=jnp.float32)
     bcv = bc_value_table(zs, zv)
-    dims = infer_box_dims(mesh.neighbor_offsets, C)
+    ck_g = build_ck_geometry(mesh, len(table.zone_ids))
+    flags = pack_flags(ck_g.interior, ck_g.mask)
     diag, off, b3 = momentum_assembly(
-        vel, p, bcv, cols, dims, rho, mu, 0.7, interpret=True
+        vel, p, bcv, flags, cols, rho, mu, 0.7, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(diag), np.asarray(A_ref.diag), rtol=2e-5, atol=1e-7
@@ -140,9 +140,11 @@ def test_pc_assembly_matches_ck(name):
     md3 = md[:, None] * jnp.ones((1, 3), md.dtype)
     A_ref, b_ref = ck_pressure_correction(mesh, ck, bc, rho, F2, md3)
 
+    from orc_tpu.ops.pallas_assembly import pack_flags
+
     cols = column_specs(mesh, table)
-    dims = infer_box_dims(mesh.neighbor_offsets, C)
-    diag, off, b = pc_assembly(vel, md, cols, dims, rho, interpret=True)
+    flags = pack_flags(ck.interior, ck.mask)
+    diag, off, b = pc_assembly(vel, md, flags, cols, rho, interpret=True)
     np.testing.assert_allclose(
         np.asarray(diag), np.asarray(A_ref.diag), rtol=2e-5, atol=1e-6
     )
