@@ -350,7 +350,9 @@ def ck_flux(
     vel_nbr=None,
 ):
     """Outward normal velocity per (c,k) [C,K] (face-major version:
-    interpolation.face_flux; Rhie-Chow per solver.rs:1051-1095)."""
+    interpolation.face_flux; Rhie-Chow per solver.rs:1051-1095, with
+    the +term3 sign fix — see interpolation.face_flux's DELIBERATE
+    DEVIATION note)."""
     v_c = vel[:, None, :]
     v_n = vel_nbr if vel_nbr is not None else nbr_values(mesh, vel, ck.interior)
     if scheme in (
@@ -380,7 +382,7 @@ def ck_flux(
         term2 = (voa_c + voa_n) * (p[:, None] - p_n) / ck.dist_on
         gsum = voa_c[..., None] * grad_p[:, None, :] + voa_n[..., None] * gp_n
         term3 = jnp.sum(gsum * ck.r_on, axis=-1) / ck.dist_on
-        interior = 0.5 * (term1 + term2 - term3)
+        interior = 0.5 * (term1 + term2 + term3)
     else:
         raise NotImplementedError(f"velocity interpolation {scheme}")
 

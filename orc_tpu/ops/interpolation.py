@@ -117,10 +117,19 @@ def face_flux(
     Rhie-Chow (solver.rs:1051-1095):
         0.5 * [ (v_i + v_j) . n
                 + (V_i/a_i + V_j/a_j) (p_i - p_j)/|r_ij|
-                - (V_i/a_i grad_p_i + V_j/a_j grad_p_j) . r_ij_hat ]
+                + (V_i/a_i grad_p_i + V_j/a_j grad_p_j) . r_ij_hat ]
     with a_c = |(a_u_c n_x, a_v_c n_y, a_w_c n_z)| the normal momentum
     coefficient (discretization.rs:14-23). Gradients and diagonals are
     the once-per-iteration cell arrays, not recomputed per face.
+
+    DELIBERATE DEVIATION from the reference: solver.rs:1095 SUBTRACTS
+    term_3. With (p_i - p_j) in term_2, the damping must ADD the
+    gradient part so the correction vanishes on a linear pressure field
+    (0.5*(term2+term3) = -d_f[(dp/dn)_f - grad_p_f.n], the standard
+    Rhie-Chow dissipation). The reference's sign leaves a spurious
+    -d_f*grad_p.n flux ~ O(h*grad_p) on SMOOTH fields — measured here
+    as a scheme-insensitive ~60% increase in the Re=1000 cavity
+    Ghia-landmark error (0.063 -> 0.102 at 64^2, TVD_DC).
     """
     n = mesh.face_normal
     own_i = mesh.face_owner
@@ -149,7 +158,7 @@ def face_flux(
         term2 = (voa_i + voa_j) * (p[own_i] - p[nbr_i]) / dist
         gsum = voa_i[:, None] * take(grad_p, own_i) + voa_j[:, None] * take(grad_p, nbr_i)
         term3 = jnp.einsum("fi,fi->f", gsum, r_ij) / dist
-        interior = 0.5 * (term1 + term2 - term3)
+        interior = 0.5 * (term1 + term2 + term3)
     else:
         raise NotImplementedError(f"velocity interpolation {scheme}")
 

@@ -120,6 +120,19 @@ def main():
     settings = {
         "tvd": settings_tvd, "dc": settings_dc, "cd1": settings_cd1
     }.get(scheme, settings_ud)
+    # VEL=lw|rc overrides the final-level velocity interpolation (the
+    # RC-vs-LW isolation experiment for the Ghia deficit).
+    vel_override = os.environ.get("VEL")
+    if vel_override:
+        import dataclasses as _dc
+
+        settings = _dc.replace(
+            settings,
+            velocity_interpolation={
+                "lw": VelocityInterpolation.LINEAR_WEIGHTED,
+                "rc": VelocityInterpolation.RHIE_CHOW,
+            }[vel_override],
+        )
 
     def upsample(arr, n_from, n_to):
         a = np.asarray(arr)

@@ -178,7 +178,12 @@ class RefAssembler:
             voa_i * self.pressure_gradient(c, p)
             + voa_j * self.pressure_gradient(j, p)
         ) @ (r / np.linalg.norm(r))
-        return 0.5 * (t1 + t2 - t3)
+        # DELIBERATE DEVIATION: solver.rs:1095 computes t1 + t2 - t3,
+        # which does NOT vanish for a linear pressure field (with
+        # (p_i - p_j) in t2 the gradient part must ADD) — the
+        # reference's sign injects a spurious -d_f*grad_p.n flux.
+        # orc_tpu uses the consistent +t3 form; the oracle pins it.
+        return 0.5 * (t1 + t2 + t3)
 
     # -- discretization.rs:39-131 ------------------------------------------
     def diffusion(self, mu):
