@@ -166,6 +166,44 @@ def jacobi_solve(
     return x, SolveInfo(iterations=it, residual=r, diverged=diverged)
 
 
+def jacobi_smooth_solve(
+    A: EllMatrix,
+    b,
+    x0,
+    iterations: int,
+    relaxation,
+    axis_sum=_identity_sum,
+    refresh=_no_refresh,
+    compensated: bool = False,
+):
+    """Fixed-count damped Jacobi: the deterministic smoother used for
+    warm-started transport solves (momentum, RANS k/eps — see
+    MatrixSolverSettings.momentum_iterations). Unlike jacobi_solve
+    there is no residual norm, no adaptive exit, and no per-sweep
+    global reduction — the iterates are a pure stationary map of the
+    inputs, so sharded and single-device runs agree to halo roundoff
+    regardless of psum summation order. One SpMV per sweep; the final
+    residual norm is computed once for SolveInfo/divergence flags."""
+    _, _norm = _reducers(compensated)
+    inv_diag = 1.0 / A.diag
+    b_prime = b * inv_diag
+
+    def sweep(_, x):
+        ax_off = _mv(A, x, refresh) - A.diag * x
+        return relaxation * (b_prime - ax_off * inv_diag) + (
+            1.0 - relaxation
+        ) * x
+
+    x = lax.fori_loop(0, iterations, sweep, x0)
+    rn = _norm(b - _mv(A, x, refresh), axis_sum)
+    diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
+    return x, SolveInfo(
+        iterations=jnp.asarray(iterations, jnp.int32),
+        residual=rn,
+        diverged=diverged,
+    )
+
+
 def bicgstab_solve(
     A: EllMatrix,
     b,
@@ -176,10 +214,10 @@ def bicgstab_solve(
     refresh=_no_refresh,
     compensated: bool = False,
 ):
-    """Textbook BiCGSTAB with r_hat0 = ones
-    (reference: linear_algebra.rs:247-269). Unlike the reference (fixed
-    count, no exit), this adds a tight relative-residual exit and
-    breakdown guards: once the residual (or a Krylov denominator)
+    """Textbook BiCGSTAB (reference: linear_algebra.rs:247-269). Unlike
+    the reference (fixed count, no exit), this adds a relative-residual
+    exit (||r|| <= threshold * ||r0||, i.e. relative to the INITIAL
+    residual — see the criterion note below) and breakdown guards: once the residual (or a Krylov denominator)
     underflows, continuing produces 0/0 -> NaN and poisons the solution,
     so the iteration freezes instead.
 
@@ -197,11 +235,25 @@ def bicgstab_solve(
     bnorm = _norm(b, axis_sum)
     r0norm = _norm(r0, axis_sum)
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
-    # Warm starts at the solution must exit immediately: iterating on a
-    # pure-roundoff residual makes the Krylov recurrence a random walk
-    # on noise that can amplify without bound (observed on TPU f64
-    # emulation after SIMPLE convergence).
-    done0 = r0norm <= jnp.maximum(convergence_threshold * bnorm, tiny)
+    eps = jnp.asarray(jnp.finfo(b.dtype).eps, b.dtype)
+    # Convergence is relative to the INITIAL residual (each call
+    # reduces ||r|| by `convergence_threshold`), NOT relative to ||b||:
+    # warm-started solves (SIMPLE momentum, x0 = previous velocity)
+    # enter with r0 far below ||b|| — under implicit relaxation b
+    # carries the (1-alpha)/alpha * diag * u term, so thresh*||b|| is an
+    # O(1)-physics absolute bar that freezes the solve (0 iterations)
+    # while the momentum equation still carries a discretization-scale
+    # defect ~ thresh*|u|*(mu/h^2 + u/h). Measured: that floor GREW
+    # under refinement and capped the Re=1000 cavity at ~0.1 landmark
+    # error for every scheme (the round-2 "systematic core-vortex
+    # deficit"); an MMS convergence study went from order -1.8
+    # (diverging!) to clean order with the rel-to-r0 exit.
+    # The roundoff floor below keeps the one thing the old criterion
+    # did right: a warm start AT the solution (r0 at SpMV-accumulation
+    # noise scale) exits immediately instead of random-walking on noise
+    # (observed on TPU f64 emulation after SIMPLE convergence).
+    floor = jnp.maximum(64.0 * eps * bnorm, tiny)
+    done0 = r0norm <= floor
     # Residual growth far beyond the initial scale is divergence-in-
     # progress — freeze rather than amplify.
     r_cap = 1e6 * (bnorm + r0norm) + tiny
@@ -233,7 +285,7 @@ def bicgstab_solve(
             | (rn_new > r_cap)
             | jnp.isnan(rn_new)
         )
-        conv = rn_new <= convergence_threshold * bnorm
+        conv = (rn_new <= convergence_threshold * r0norm) | (rn_new <= floor)
         # A breakdown step's update is garbage — freeze the pre-step state.
         frozen = done | breakdown
         x = jnp.where(frozen, x, x_new)
@@ -325,11 +377,23 @@ def iterative_solve(
             refresh,
             compensated=settings.compensated_f32,
         )
+    if method == SolutionMethod.JACOBI_SMOOTH:
+        return jacobi_smooth_solve(
+            A,
+            b,
+            x0,
+            settings.iterations,
+            settings.relaxation,
+            axis_sum,
+            refresh,
+            compensated=settings.compensated_f32,
+        )
     if method == SolutionMethod.BICGSTAB:
         # The reference's BiCGSTAB has no convergence exit
         # (linear_algebra.rs:255-268); here the settings threshold
-        # applies as ||r|| <= thresh * ||b|| (set it to 0 to force the
-        # reference's fixed-count behavior).
+        # applies as ||r|| <= thresh * ||r0|| (set it to 0 to force the
+        # reference's fixed-count behavior). Relative-to-r0, not
+        # relative-to-b: see the criterion note in bicgstab_solve.
         return bicgstab_solve(
             A,
             b,

@@ -215,7 +215,7 @@ def simple_step(
             Ai,
             b,
             x0,
-            settings.matrix_solver,
+            settings.momentum_matrix_solver(),
             axis_sum=comm.axis_sum,
             refresh=comm.refresh,
             **solver_extras,
@@ -423,7 +423,7 @@ def ck_simple_step(
             Ai,
             b,
             x0,
-            settings.matrix_solver,
+            settings.momentum_matrix_solver(),
             axis_sum=comm.axis_sum,
             refresh=comm.refresh,
             **solver_extras,

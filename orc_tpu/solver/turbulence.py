@@ -205,8 +205,16 @@ def turbulence_step(
     A_k, b_k = ck_scalar_system(
         mesh, ck, bc, F, gamma_k, diag_src_k, b_src_k, k_in
     )
+    # Inactive rows (halo slots in sharded runs) are identity rows with
+    # b=0, so the warm start must be ZERO there: a nonzero ghost x0
+    # leaves a spurious per-ghost residual that inflates the global
+    # Krylov dots (measured: r0 0.73 -> 6.0 on a 4-device channel, and
+    # a 78% sharded-vs-single k difference after one partial solve).
+    # The momentum solve already masks its x0 (simple.py solve paths).
+    active = ck.mask.any(axis=1)
     k_sol, _ = iterative_solve(
-        A_k, b_k, k, settings.matrix_solver,
+        A_k, b_k, jnp.where(active, k, 0.0),
+        settings.momentum_matrix_solver(),
         axis_sum=comm.axis_sum, refresh=comm.refresh,
     )
     k_new = jnp.maximum(k + relax * (k_sol - k), 1e-30)
@@ -229,7 +237,8 @@ def turbulence_step(
     )
     b_e = jnp.where(has_wall, eps_wall, b_e)
     e_sol, _ = iterative_solve(
-        A_e, b_e, eps, settings.matrix_solver,
+        A_e, b_e, jnp.where(active, eps, 0.0),
+        settings.momentum_matrix_solver(),
         axis_sum=comm.axis_sum, refresh=comm.refresh,
     )
     eps_new = jnp.maximum(eps + relax * (e_sol - eps), 1e-30)

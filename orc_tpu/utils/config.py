@@ -162,6 +162,13 @@ def parse_case(text: str) -> Case:
             "restriction",
         ),
         compensated_f32=bool(sol.get("compensated_f32", False)),
+        # momentum_iterations = 0 -> disable the fixed-count momentum
+        # smoother (solve momentum with the configured solver instead).
+        momentum_iterations=(
+            (int(sol["momentum_iterations"]) or None)
+            if "momentum_iterations" in sol
+            else MatrixSolverSettings.momentum_iterations
+        ),
     )
     settings = NumericalSettings(
         momentum=momentum,
@@ -354,6 +361,7 @@ relaxation = 0.5
 convergence = 1e-3
 preconditioner = "jacobi"             # none | jacobi
 # compensated_f32 = true              # f64-accumulated reductions for f32 runs
+# momentum_iterations = 6             # fixed-count momentum smoother sweeps (0 = full solver)
 
 [boundaries.TOP_WALL]
 type = "wall"

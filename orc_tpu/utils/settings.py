@@ -125,6 +125,11 @@ class SolutionMethod(enum.Enum):
     GAUSS_SEIDEL = "gauss_seidel"
     BICGSTAB = "bicgstab"
     MULTIGRID = "multigrid"
+    # Internal (not part of the reference's menu): fixed-count damped
+    # Jacobi sweeps with NO adaptive exit and NO per-sweep reductions —
+    # the deterministic smoother used for warm-started transport solves
+    # (MatrixSolverSettings.momentum_solver). Selectable directly too.
+    JACOBI_SMOOTH = "jacobi_smooth"
 
 
 class PreconditionMethod(enum.Enum):
@@ -174,6 +179,35 @@ class MatrixSolverSettings:
     # Terminate when the residual norm falls to this fraction of its value
     # after one iteration.
     relative_convergence_threshold: float = 1e-3
+    # Sweep count for the WARM-STARTED transport solves inside the
+    # SIMPLE loop (momentum u/v/w and RANS scalar transport), which run
+    # as fixed-count damped-Jacobi smoothing (JACOBI_SMOOTH) instead of
+    # the configured Krylov solver. Why a stationary smoother:
+    # (1) DETERMINISM — Krylov scalars (rho/alpha/omega) and adaptive
+    #     exits compare roundoff-ordered reductions, so single-device
+    #     and sharded runs (different summation orders) can exit at
+    #     different iterations or amplify roundoff through
+    #     near-breakdown denominators. A stationary sweep has NO
+    #     data-dependent scalars: sharded == single to the halo-exchange
+    #     roundoff. (Measured: an adaptive k-transport exit sitting
+    #     within 1e-15 of its bar left one path at ||r||=0.59 and
+    #     carried the other to 1e-10 — a 78% field difference after one
+    #     outer step.)
+    # (2) ROBUSTNESS — a fixed-count Krylov solve can stop on a
+    #     stagnation hump with a residual WORSE than entry (measured:
+    #     4-iteration BiCGSTAB on a periodic-channel momentum system
+    #     returned 6x-grown residuals and the outer loop amplified to
+    #     1e147). Damped Jacobi on the diagonally-dominant transport
+    #     systems contracts monotonically.
+    # (3) COST — one SpMV per sweep and no global dot products (psum
+    #     latency) at all; the outer iteration provides the
+    #     low-frequency coupling through the pressure solve, which
+    #     keeps its adaptive Krylov/multigrid treatment.
+    # The momentum equation still converges to the exact discrete
+    # solution: the outer fixed point is unchanged (a sweep is a no-op
+    # only at zero residual). None = solve momentum with the full
+    # configured solver settings instead.
+    momentum_iterations: Optional[int] = 6
     preconditioner: PreconditionMethod = PreconditionMethod.JACOBI
     # AMG controls (reference: linear_algebra.rs:9-10; smoother fixed to
     # BiCGSTAB with 3 coarsening levels there).
@@ -195,6 +229,21 @@ class MatrixSolverSettings:
     # stream only — fields, SpMV and updates stay f32). No effect on
     # f64 runs. (SURVEY §7 design stance: compensated-f32 reductions.)
     compensated_f32: bool = False
+
+    def momentum_solver(self) -> "MatrixSolverSettings":
+        """The settings used for warm-started transport solves
+        (momentum, RANS k/eps): fixed-count damped-Jacobi smoothing —
+        see the momentum_iterations note. relaxation=0.8 is a safe
+        smoothing weight for the Jacobi-preconditioned (unit-diagonal)
+        momentum rows."""
+        if self.momentum_iterations is None:
+            return self
+        return dataclasses.replace(
+            self,
+            solver_type=SolutionMethod.JACOBI_SMOOTH,
+            iterations=self.momentum_iterations,
+            relaxation=0.8,
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -251,6 +300,22 @@ class NumericalSettings:
             object.__setattr__(
                 self, "relaxation_mode", RelaxationMode.EXPLICIT
             )
+
+    def momentum_matrix_solver(self) -> MatrixSolverSettings:
+        """Solver settings for the warm-started transport solves inside
+        the outer loop (momentum u/v/w, RANS k/eps). The fixed-count
+        damped-Jacobi smoother (MatrixSolverSettings.momentum_solver)
+        needs the Patankar-boosted diagonal of IMPLICIT relaxation for
+        guaranteed contraction: with explicit relaxation the momentum
+        rows have no 1/alpha dominance margin and the sweep can amplify
+        (measured: a convection-dominated developing RANS channel NaNs
+        by outer iter 800 with 6 sweeps — and FASTER with 20, i.e.
+        rho(M) > 1 — while the same case under implicit relaxation
+        matches the full-solver trajectory). Explicit-relaxation runs
+        keep the configured Krylov solver for every transport solve."""
+        if self.relaxation_mode != RelaxationMode.IMPLICIT:
+            return self.matrix_solver
+        return self.matrix_solver.momentum_solver()
 
     def replace(self, **kw) -> "NumericalSettings":
         return dataclasses.replace(self, **kw)

@@ -19,7 +19,7 @@ sys.path.insert(0, "/root/repo")
 GHIA_Y = [0.0547, 0.1016, 0.2813, 0.4531, 0.5, 0.6172, 0.7344, 0.9531]
 GHIA_U = [-0.1812, -0.2973, -0.2781, -0.1065, -0.0608, 0.0570, 0.1872, 0.4660]
 GHIA_X = [0.0625, 0.2266, 0.5, 0.8047, 0.9531]
-GHIA_V = [0.2749, 0.3263, 0.0258, -0.3197, -0.2279]
+GHIA_V = [0.27485, 0.33075, 0.02526, -0.31966, -0.33714]
 
 
 def landmark_err(state, n):
@@ -103,8 +103,10 @@ def main():
         tvd_psi=tvd_umist,
         pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
         velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
-        pressure_relaxation=0.1,
-        momentum_relaxation=0.7,
+        # 0.1 limit-cycles at 256^2 (p_corr grows without bound);
+        # 0.03 converges monotonically (measured 2026-08-17).
+        pressure_relaxation=0.03,
+        momentum_relaxation=0.6,
         relaxation_mode=RelaxationMode.IMPLICIT,
         matrix_solver=solver,
     )
@@ -132,6 +134,36 @@ def main():
                 "lw": VelocityInterpolation.LINEAR_WEIGHTED,
                 "rc": VelocityInterpolation.RHIE_CHOW,
             }[vel_override],
+        )
+    # PR=/MR= override the final-level relaxation factors (limit-cycle
+    # isolation: relaxation imbalance vs limiter chatter).
+    import dataclasses as _dc0
+
+    if os.environ.get("PR"):
+        settings = _dc0.replace(
+            settings, pressure_relaxation=float(os.environ["PR"])
+        )
+    if os.environ.get("MR"):
+        settings = _dc0.replace(
+            settings, momentum_relaxation=float(os.environ["MR"])
+        )
+    # PSI=one|va|umist overrides the limiter (deferred-CD / van Albada
+    # isolation experiments for the limiter-clipping hypothesis).
+    psi_override = os.environ.get("PSI")
+    if psi_override:
+        import dataclasses as _dc
+
+        def psi_one(r):
+            return jnp.ones_like(r)
+
+        def psi_va(r):  # van Albada: smooth, psi(1)=1, clips r<0
+            return jnp.where(r > 0.0, (r * r + r) / (r * r + 1.0), 0.0)
+
+        settings = _dc.replace(
+            settings,
+            tvd_psi={
+                "one": psi_one, "va": psi_va, "umist": tvd_umist
+            }[psi_override],
         )
 
     def upsample(arr, n_from, n_to):

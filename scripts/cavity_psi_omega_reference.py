@@ -118,7 +118,7 @@ def solve(n=129, re=1000.0, t_end=60.0, report=5.0):
 GHIA_Y = [0.0547, 0.1016, 0.2813, 0.4531, 0.5, 0.6172, 0.7344, 0.9531]
 GHIA_U = [-0.1812, -0.2973, -0.2781, -0.1065, -0.0608, 0.0570, 0.1872, 0.4660]
 GHIA_X = [0.0625, 0.2266, 0.5, 0.8047, 0.9531]
-GHIA_V = [0.2749, 0.3263, 0.0258, -0.3197, -0.2279]
+GHIA_V = [0.27485, 0.33075, 0.02526, -0.31966, -0.33714]
 
 
 def main():

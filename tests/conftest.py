@@ -10,7 +10,11 @@ import os
 # Must be set before jax import. Force CPU: the ambient environment sets
 # JAX_PLATFORMS=axon (the tunneled TPU), which is reserved for bench runs
 # — running the test suite over the tunnel is slow and flaky.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# ORC_TPU_TEST_PLATFORM overrides (used to run the ORC_TPU_SLOW-gated
+# flagship validation on the real chip, where it takes minutes).
+os.environ["JAX_PLATFORMS"] = os.environ.get(
+    "ORC_TPU_TEST_PLATFORM", "cpu"
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

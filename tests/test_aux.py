@@ -91,6 +91,10 @@ def test_recovery_backs_off_and_completes():
             solver_type=SolutionMethod.JACOBI,
             iterations=4,
             relaxation=1.9,  # over-relaxed smoother: diverges
+            # Keep the divergent solver on the momentum path too (the
+            # default momentum smoother is deliberately safe and would
+            # rescue this run before the recovery layer gets to).
+            momentum_iterations=None,
         ),
         pressure_relaxation=0.5,
         momentum_relaxation=1.0,

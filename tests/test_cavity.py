@@ -109,7 +109,16 @@ def test_cavity_re1000_ghia_flagship():
     keep converging once increments fall below f32 epsilon; the
     in-matrix TVD inherits the reference's inflow-face CD degeneration
     and converges at UD-like accuracy, so TVD_DC is the scheme that
-    carries this test.
+    carries this test; pressure_relaxation 0.1 limit-cycles at 256^2
+    (p_corr grows 7.7e-3 -> 1.1e-1 over 160k iters) while 0.03
+    converges monotonically to p_corr ~3e-5 with u_err 0.007 /
+    v_err 0.020 (measured 2026-08-17).
+
+    The ghia_v table is Ghia Table II's Re=1000 column verbatim; an
+    earlier transcription had v(0.2266) from the x=0.1016 row and
+    v(0.9531) from the Re=100 column (-0.22781), which manufactured a
+    phantom 0.13 "error" at the one landmark after the real solver
+    deficit was fixed.
     """
     import os
 
@@ -133,7 +142,7 @@ def test_cavity_re1000_ghia_flagship():
     ghia_u = [-0.1812, -0.2973, -0.2781, -0.1065, -0.0608, 0.0570,
               0.1872, 0.4660]
     ghia_x = [0.0625, 0.2266, 0.5, 0.8047, 0.9531]
-    ghia_v = [0.2749, 0.3263, 0.0258, -0.3197, -0.2279]
+    ghia_v = [0.27485, 0.33075, 0.02526, -0.31966, -0.33714]
 
     n = 256
     settings = NumericalSettings(
@@ -141,8 +150,8 @@ def test_cavity_re1000_ghia_flagship():
         tvd_psi=tvd_umist,
         pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
         velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
-        pressure_relaxation=0.1,
-        momentum_relaxation=0.7,
+        pressure_relaxation=0.03,
+        momentum_relaxation=0.6,
         relaxation_mode=RelaxationMode.IMPLICIT,
         matrix_solver=MatrixSolverSettings(
             solver_type=SolutionMethod.BICGSTAB,

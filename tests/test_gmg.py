@@ -158,11 +158,19 @@ def test_simple_with_gmg_matches_bicgstab():
     from orc_tpu.models.cavity import cavity_case
     from orc_tpu.solver.simple import initial_state, solve_steady
 
+    from orc_tpu.utils.settings import RelaxationMode
+
     mesh, table = cavity_case(n=16, lid_velocity=1.0)
+    # Enclosed flow: implicit (Patankar) relaxation is the stable
+    # configuration (explicit diverges on cavities once the momentum
+    # solves actually converge — see tests/test_cavity.py docstring).
     base = NumericalSettings(
         momentum=MomentumScheme.UD,
         pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
         velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+        momentum_relaxation=0.7,
+        pressure_relaxation=0.1,
         matrix_solver=MSS(
             solver_type=SolutionMethod.BICGSTAB,
             iterations=40,

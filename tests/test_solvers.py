@@ -87,6 +87,31 @@ def test_reference_known_solution(method, precond):
     assert not bool(info.diverged)
 
 
+def test_jacobi_smooth_known_solution():
+    """JACOBI_SMOOTH (the fixed-count momentum smoother) contracts the
+    reference system's residual monotonically and converges with enough
+    sweeps — no adaptive exit, so accuracy is sweep-count-controlled."""
+    A, b, x_true = reference_test_system()
+    settings = MatrixSolverSettings(
+        solver_type=SolutionMethod.JACOBI_SMOOTH,
+        iterations=200,
+        relaxation=0.8,
+    )
+    x, info = iterative_solve(A, b, jnp.zeros(N), settings)
+    r = np.asarray(A.matvec(x) - b)
+    assert np.linalg.norm(r) < TOL, np.linalg.norm(r)
+    assert not bool(info.diverged)
+    assert int(info.iterations) == 200
+    # Fewer sweeps -> larger residual, but still contracted from entry.
+    import dataclasses
+
+    x6, _ = iterative_solve(
+        A, b, jnp.zeros(N), dataclasses.replace(settings, iterations=6)
+    )
+    r6 = np.linalg.norm(np.asarray(A.matvec(x6) - b))
+    assert np.linalg.norm(r) < r6 < np.linalg.norm(np.asarray(b))
+
+
 def test_batched_solve_matches_individual():
     """vmap'ed batched solve (how u/v/w are solved) must equal three
     individual solves."""
