@@ -315,9 +315,14 @@ def extended_metrics():
         )
         Ap, bp = ck_pressure_correction(mesh, ck, bc, 1.0, F, mom_diag)
         # Feed outputs back so the scan carries the full assembly.
-        new_vel = vel + 1e-12 * jnp.moveaxis(b3, 0, -1)
+        # Shared-matrix momentum (UD/CD1/TVD_DC) returns diag [C] and
+        # b [C,3]; component-dependent schemes return [3,C]/[3,C,K].
+        b3c = b3 if b3.shape[0] == vel.shape[0] else jnp.moveaxis(b3, 0, -1)
+        d3 = A3.diag
+        d3c = d3[:, None] if d3.ndim == 1 else jnp.moveaxis(d3, 0, -1)
+        new_vel = vel + 1e-12 * b3c
         new_p = p + 1e-12 * bp
-        new_md = mom_diag + 1e-12 * jnp.moveaxis(A3.diag, 0, -1)
+        new_md = mom_diag + 1e-12 * d3c
         return (new_vel, new_p, new_md)
 
     st0 = (
@@ -327,9 +332,9 @@ def extended_metrics():
     )
     t_asm = _scan_slope(assemble, st0, n=128)
     # Min-algorithmic traffic: read vel 3C + p C + mom_diag 3C; write
-    # momentum off [3,C,K] + diag 3C + b 3C + pc off C,K + diag C + b C
-    # + flux C (f32).
-    bytes_asm = C * 4 * (3 + 1 + 3 + 3 * K + 3 + 3 + K + 1 + 1 + 1)
+    # SHARED momentum off [C,K] + diag C + b 3C + pc off C,K + diag C
+    # + b C + flux C (f32).
+    bytes_asm = C * 4 * (3 + 1 + 3 + K + 1 + 3 + K + 1 + 1 + 1)
     gbps_asm = bytes_asm / t_asm / 1e9
     lines.append(
         {

@@ -183,7 +183,9 @@ def solve_channel_flow(
         # against the overall velocity scale. (The reference's
         # max/min - 1 comparison silently passes any pair of negative
         # values, tests.rs:118-120 — fixed here.)
-        denom = max(abs(a), abs(b), 0.05 * u_scale)
+        # Tiny absolute floor so a quiescent case (both analytical and
+        # solved fields identically zero) validates instead of 0/0.
+        denom = max(abs(a), abs(b), 0.05 * u_scale, 1e-30)
         return abs(a - b) / denom < validation_threshold
 
     # Core-region stats: exclude the inlet/outlet quarter-lengths, where
