@@ -335,6 +335,21 @@ def pressure_correction_system(
     )
     a_nb = rho * area**2 / a_face
     a_bnd = rho * area**2 / a_c / 2.0
+    # Boundary faces all contribute rho A^2/a/2 to the diagonal,
+    # following the reference (discretization.rs:434-436) INCLUDING its
+    # known inconsistency (its own TODO at :426 says walls should add
+    # zero). This is deliberate: with stateless fluxes (re-interpolated
+    # from cell fields each iteration, never corrected in place) these
+    # spurious prescribed-flux terms are what keep the outer loop
+    # stable — on single-layer 2D meshes every cell carries the
+    # z-plane term, making the p' system a SCREENED Poisson whose
+    # damping the whole relaxation regime is tuned around. Removing
+    # them (round-3 experiment) sends the graded channel_flow.msh
+    # divergent under every scheme/anchor-scaling tried, because the
+    # stateless loop's per-mode gain is only bounded by this screen.
+    # The physically-correct treatment (zero wall contribution) needs
+    # stored-and-corrected face fluxes so the mass-loop gain is exactly
+    # 1 by construction — see NOTES.md 'flux-correction' design item.
     active = m.any(axis=1)
     diag = jnp.sum(
         jnp.where(interior, a_nb, jnp.where(m, a_bnd, 0.0)), axis=1
@@ -363,13 +378,31 @@ def apply_pressure_correction(
     vel,  # [C,3]
     p,  # [C]
 ):
-    """SIMPLE update (reference: solver.rs:1169-1227): p += alpha_p p';
-    u += alpha_u * sum_f n_out/a_diag (p'_c - p'_nb) A."""
+    """SIMPLE update: p += alpha_p p'; u += alpha_u/a_diag *
+    sum_f (p'_c - p'_f) A n_out, with the interior p'_f selected by
+    settings.pressure_correction_form (see that enum for the full
+    stability/accuracy trade):
+
+    - CELL_DIFFERENCE (reference parity, solver.rs:1214-1223, the
+      default): p'_f = p'_nb — 2x the consistent magnitude, compact
+      checkerboard damping;
+    - FACE_VALUE (consistent): p'_f linear, so the sum is exactly
+      -(V/a) grad p'.
+
+    Both use p'_f = 0 at pressure BCs (the Dirichlet pull) and
+    p'_f = p'_c (zero-gradient) at prescribed-flux BCs."""
+    from orc_tpu.utils.settings import PressureCorrectionForm
+
     cf, m, (code, _, _), area, interior = _gathered(mesh, fbc)
     sgn = mesh.cell_face_sign
-    p_pr_nb = jnp.where(
+    p_pr_nb = take(p_prime, mesh.cell_neighbors)
+    if settings.pressure_correction_form == PressureCorrectionForm.FACE_VALUE:
+        p_pr_int = 0.5 * (p_prime[:, None] + p_pr_nb)
+    else:
+        p_pr_int = p_pr_nb
+    p_pr_f = jnp.where(
         interior,
-        take(p_prime, mesh.cell_neighbors),
+        p_pr_int,
         jnp.where(
             ((code == PRESSURE_INLET) | (code == PRESSURE_OUTLET)),
             0.0,
@@ -378,7 +411,7 @@ def apply_pressure_correction(
     )
     n_out = sgn[..., None] * take(mesh.face_normal, cf)
     scaled_n = n_out / mom_diag[:, None, :]
-    dpp = (p_prime[:, None] - p_pr_nb) * area
+    dpp = (p_prime[:, None] - p_pr_f) * area
     corr = jnp.sum(
         jnp.where(m[..., None], scaled_n * dpp[..., None], 0.0), axis=1
     )  # [C,3]

@@ -644,6 +644,10 @@ def ck_pressure_correction(
         jnp.sum(((mom_diag[:, None, :] + md_n) * ck.n_out) ** 2, axis=-1)
     )
     a_nb = rho * ck.area**2 / a_face
+    # All boundary faces contribute rho A^2/a/2, following the
+    # reference INCLUDING its spurious prescribed-flux terms — they act
+    # as the screened-Poisson damping the stateless-flux outer loop
+    # needs (full rationale: assembly.pressure_correction_system).
     a_bnd = rho * ck.area**2 / a_c / 2.0
     active = ck.mask.any(axis=1)
     diag = jnp.sum(
@@ -674,14 +678,22 @@ def ck_apply_correction(
     mesh, ck: CKGeometry, bc: CKBC, settings, p_prime, mom_diag, vel, p
 ):
     """SIMPLE update (face-major version:
-    assembly.apply_pressure_correction)."""
-    pp_n = jnp.where(
+    assembly.apply_pressure_correction — the interior face value is
+    selected by settings.pressure_correction_form)."""
+    from orc_tpu.utils.settings import PressureCorrectionForm
+
+    pp_nb = nbr_values(mesh, p_prime, ck.interior)
+    if settings.pressure_correction_form == PressureCorrectionForm.FACE_VALUE:
+        pp_int = 0.5 * (p_prime[:, None] + pp_nb)
+    else:  # CELL_DIFFERENCE (reference parity, the default)
+        pp_int = pp_nb
+    pp_f = jnp.where(
         ck.interior,
-        nbr_values(mesh, p_prime, ck.interior),
+        pp_int,
         jnp.where(bc.is_pressure, 0.0, p_prime[:, None]),
     )
     scaled_n = ck.n_out / mom_diag[:, None, :]
-    dpp = (p_prime[:, None] - pp_n) * ck.area
+    dpp = (p_prime[:, None] - pp_f) * ck.area
     corr = jnp.sum(
         jnp.where(ck.mask[..., None], scaled_n * dpp[..., None], 0.0), axis=1
     )

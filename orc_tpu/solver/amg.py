@@ -214,11 +214,14 @@ def galerkin_values(A: EllMatrix, level: MgLevel):
 
 
 def _smooth(A, b, x0, settings: MatrixSolverSettings,
-            axis_sum=_identity_sum, iterations=None, refresh=None):
+            axis_sum=_identity_sum, iterations=None, refresh=None,
+            project=None):
     """Per-level smoother: Jacobi-preconditioned BiCGSTAB (the
     reference's MULTIGRID_SMOOTHER, linear_algebra.rs:9). `refresh` is
-    the halo-refresh hook for distributed fine-level smoothing."""
-    from orc_tpu.solver.krylov import _no_refresh
+    the halo-refresh hook for distributed fine-level smoothing;
+    `project` the constant-nullspace deflation hook for singular
+    (unanchored) pressure systems (krylov.constant_deflation)."""
+    from orc_tpu.solver.krylov import _no_project, _no_refresh
 
     if (refresh is None or refresh is _no_refresh) and A.plan is not None:
         A = A.prepare()  # gather-free slice SpMV for the whole smooth
@@ -234,8 +237,22 @@ def _smooth(A, b, x0, settings: MatrixSolverSettings,
         convergence_threshold=settings.relative_convergence_threshold,
         refresh=refresh if refresh is not None else _no_refresh,
         compensated=settings.compensated_f32,
+        project=project if project is not None else _no_project,
     )
     return x, info
+
+
+def _coarse_project(null_scale):
+    """Plain-mean constant deflation for the (replicated, all-active)
+    coarse levels of a V-cycle; identity when no deflation was
+    requested. The coarse null vector IS the constant: the Galerkin
+    product with summing restriction / piecewise-constant prolongation
+    gives A_c 1_c = R A P 1_c = R A 1_f = 0."""
+    if null_scale is None:
+        return None
+    from orc_tpu.solver.krylov import constant_deflation
+
+    return constant_deflation(null_scale)
 
 
 def multigrid_solve(
@@ -245,15 +262,20 @@ def multigrid_solve(
     settings: MatrixSolverSettings,
     hierarchy: List[MgLevel],
     axis_sum=_identity_sum,
+    project=None,
+    null_scale=None,
 ):
     """V-ish cycle mirroring the reference's structure
     (linear_algebra.rs:65-141,270-296): smooth on the fine grid, then
     add the recursively-computed coarse-grid correction, post-smoothing
     on the way up."""
-    x, info0 = _smooth(A, b, x0, settings, axis_sum)
+    x, info0 = _smooth(A, b, x0, settings, axis_sum, project=project)
     if hierarchy:
         r = b - A.matvec(x)
-        x = x + _mg_correction(A, r, 0, settings, hierarchy, axis_sum)
+        x = x + _mg_correction(
+            A, r, 0, settings, hierarchy, axis_sum,
+            project=_coarse_project(null_scale),
+        )
     rn = _norm(b - A.matvec(x), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
     return x, SolveInfo(
@@ -271,6 +293,8 @@ def multigrid_solve_sharded(
     refresh,
     owned_mask,
     owned_global,
+    project=None,
+    null_scale=None,
 ):
     """Distributed AMG V-cycle (counterpart of gmg.gmg_solve_sharded):
     fine-level smoothing runs distributed through the halo-refresh /
@@ -290,7 +314,10 @@ def multigrid_solve_sharded(
     from orc_tpu.ops.layout import take
     from orc_tpu.solver.krylov import _mv
 
-    x, info0 = _smooth(A, b, x0, settings, axis_sum, refresh=refresh)
+    x, info0 = _smooth(
+        A, b, x0, settings, axis_sum, refresh=refresh, project=project
+    )
+    cproject = _coarse_project(null_scale)
     if hierarchy:
         level = hierarchy[0]
         if A.neighbors is None:
@@ -338,14 +365,16 @@ def multigrid_solve_sharded(
             iterations=settings.iterations
             if len(hierarchy) == 1
             else None,
+            project=cproject,
         )
         if len(hierarchy) > 1:
             # Same cycle as the single-device _mg_correction: recurse on
             # the restricted residual, then post-smooth at this level.
             e_c = e_c + _mg_correction(
-                A_c, r_c, 1, settings, hierarchy, _identity_sum
+                A_c, r_c, 1, settings, hierarchy, _identity_sum,
+                project=cproject,
             )
-            e_c, _ = _smooth(A_c, r_c, e_c, settings)
+            e_c, _ = _smooth(A_c, r_c, e_c, settings, project=cproject)
         x = x + jnp.where(owned_mask, take(e_c, I), 0.0)
     rn = _norm(b - _mv(A, x, refresh), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
@@ -354,7 +383,8 @@ def multigrid_solve_sharded(
     )
 
 
-def _mg_correction(A_f, r, level_idx, settings, hierarchy, axis_sum):
+def _mg_correction(A_f, r, level_idx, settings, hierarchy, axis_sum,
+                   project=None):
     level = hierarchy[level_idx]
     r_c = jax.ops.segment_sum(r, level.agg, num_segments=level.n_coarse)
     A_c = galerkin_values(A_f, level)
@@ -364,10 +394,12 @@ def _mg_correction(A_f, r, level_idx, settings, hierarchy, axis_sum):
     e_c, _ = _smooth(
         A_c, r_c, jnp.zeros_like(r_c), settings, axis_sum,
         iterations=settings.iterations if coarsest else None,
+        project=project,
     )
     if not coarsest:
         e_c = e_c + _mg_correction(
-            A_c, r_c, level_idx + 1, settings, hierarchy, axis_sum
+            A_c, r_c, level_idx + 1, settings, hierarchy, axis_sum,
+            project=project,
         )
-        e_c, _ = _smooth(A_c, r_c, e_c, settings, axis_sum)
+        e_c, _ = _smooth(A_c, r_c, e_c, settings, axis_sum, project=project)
     return e_c[level.agg]

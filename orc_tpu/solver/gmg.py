@@ -341,19 +341,27 @@ def gmg_solve(
     settings: MatrixSolverSettings,
     hierarchy: Tuple[GmgLevel, ...],
     axis_sum=_identity_sum,
+    project=None,
+    null_scale=None,
 ):
     """One V-cycle with BiCGSTAB smoothing, mirroring the reference's
     multigrid iteration structure (linear_algebra.rs:65-141): smooth,
     coarse-grid correction (recursive), post-smooth on the way up.
     Coarse matrices are re-Galerkined per call (coefficients change
-    every outer iteration; the transfer structure does not)."""
-    from orc_tpu.solver.amg import _smooth
+    every outer iteration; the transfer structure does not).
 
-    x, info0 = _smooth(A, b, x0, settings, axis_sum)
+    `project`/`null_scale`: constant-nullspace deflation for singular
+    (unanchored) pressure systems — see krylov.constant_deflation."""
+    from orc_tpu.solver.amg import _coarse_project, _smooth
+
+    x, info0 = _smooth(A, b, x0, settings, axis_sum, project=project)
     if hierarchy:
         r = b - A.matvec(x)
-        x = x + _gmg_correction(A, r, 0, settings, hierarchy, axis_sum)
-        x, _ = _smooth(A, b, x, settings, axis_sum)
+        x = x + _gmg_correction(
+            A, r, 0, settings, hierarchy, axis_sum,
+            project=_coarse_project(null_scale),
+        )
+        x, _ = _smooth(A, b, x, settings, axis_sum, project=project)
     rn = _norm(b - A.matvec(x), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
     return x, SolveInfo(
@@ -361,7 +369,8 @@ def gmg_solve(
     )
 
 
-def _gmg_correction(A_f, r, idx, settings, hierarchy, axis_sum):
+def _gmg_correction(A_f, r, idx, settings, hierarchy, axis_sum,
+                    project=None):
     from orc_tpu.solver.amg import _smooth
 
     level = hierarchy[idx]
@@ -375,13 +384,15 @@ def _gmg_correction(A_f, r, idx, settings, hierarchy, axis_sum):
         settings,
         axis_sum,
         iterations=settings.iterations if coarsest else None,
+        project=project,
     )
     if not coarsest:
         rr = r_c - A_c.matvec(e_c)
         e_c = e_c + _gmg_correction(
-            A_c, rr, idx + 1, settings, hierarchy, axis_sum
+            A_c, rr, idx + 1, settings, hierarchy, axis_sum,
+            project=project,
         )
-        e_c, _ = _smooth(A_c, r_c, e_c, settings, axis_sum)
+        e_c, _ = _smooth(A_c, r_c, e_c, settings, axis_sum, project=project)
     return prolong(e_c, level)
 
 
@@ -456,13 +467,18 @@ def gmg_solve_sharded(
     refresh,
     owned_mask,
     owned_global,
+    project=None,
+    null_scale=None,
 ):
     """Distributed V-cycle: smooth locally, correct globally-replicated
     (see module comment above)."""
-    from orc_tpu.solver.amg import _smooth
+    from orc_tpu.solver.amg import _coarse_project, _smooth
     from orc_tpu.solver.krylov import _mv
 
-    x, info0 = _smooth(A, b, x0, settings, axis_sum, refresh=refresh)
+    x, info0 = _smooth(
+        A, b, x0, settings, axis_sum, refresh=refresh, project=project
+    )
+    cproject = _coarse_project(null_scale)
     if hierarchy:
         level = hierarchy[0]
         r = b - _mv(A, x, refresh)
@@ -490,20 +506,24 @@ def gmg_solve_sharded(
             iterations=settings.iterations
             if len(hierarchy) == 1
             else None,
+            project=cproject,
         )
         if len(hierarchy) > 1:
             rr = r_c - A_c.matvec(e_c)
             e_c = e_c + _gmg_correction(
-                A_c, rr, 1, settings, hierarchy, _identity_sum
+                A_c, rr, 1, settings, hierarchy, _identity_sum,
+                project=cproject,
             )
-            e_c, _ = _smooth(A_c, r_c, e_c, settings)
+            e_c, _ = _smooth(A_c, r_c, e_c, settings, project=cproject)
         e_f = prolong(e_c, level)  # [C] global, replicated
         from orc_tpu.ops.layout import take
 
         x = x + jnp.where(
             owned_mask, take(e_f, owned_global.astype(jnp.int32)), 0.0
         )
-        x, _ = _smooth(A, b, x, settings, axis_sum, refresh=refresh)
+        x, _ = _smooth(
+            A, b, x, settings, axis_sum, refresh=refresh, project=project
+        )
     rn = _norm(b - _mv(A, x, refresh), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
     return x, SolveInfo(

@@ -92,6 +92,45 @@ def _no_refresh(x):
     return x
 
 
+def _no_project(x):
+    return x
+
+
+def constant_deflation(null_scale, active=None, axis_sum=_identity_sum):
+    """Projection removing the constant (gauge) mode from a vector:
+    x -> x - null_scale * mean_active(x).
+
+    For an UNANCHORED pressure-correction system (no pressure BC — the
+    all-wall cavity, the body-force periodic channel) the matrix is
+    exactly singular with nullspace = constants. Krylov solvers on such
+    systems are fine in exact arithmetic (every Krylov vector stays in
+    the zero-mean subspace), but the Jacobi-preconditioned operator
+    D^-1 A loses the orthogonality range(A) ⊥ 1, so roundoff seeds a
+    constant component that near-singular alpha/omega steps amplify —
+    measured: transient |x| > 1e10 spikes (false divergence flags) and
+    genuine breakdown NaNs on the 16^2 cavity MULTIGRID. Deflating the
+    matvec outputs keeps the whole Krylov space in the stable subspace,
+    where the operator is nonsingular.
+
+    `null_scale` is a traced scalar: 1.0 for singular systems, 0.0 for
+    anchored ones (the projection is then the identity, but the same
+    trace serves traced zone tables). `active` masks padded/halo rows
+    (None = all rows); `axis_sum` completes sums under shard_map.
+    Operates on the trailing axis only for 1-D vectors — do not use on
+    batched systems."""
+    def project(x):
+        if active is None:
+            n = axis_sum(jnp.asarray(x.shape[-1], x.dtype))
+            mean = axis_sum(jnp.sum(x, axis=-1)) / n
+            return x - null_scale * mean
+        one = jnp.asarray(1.0, x.dtype)
+        n = axis_sum(jnp.sum(jnp.where(active, one, 0.0)))
+        mean = axis_sum(jnp.sum(jnp.where(active, x, 0.0))) / n
+        return x - null_scale * jnp.where(active, mean, 0.0)
+
+    return project
+
+
 def _mv(A: EllMatrix, x, refresh):
     """A @ x with a halo-refresh hook: neighbor gathers read the
     refreshed vector (remote values at halo slots) while the diagonal
@@ -119,6 +158,7 @@ def jacobi_solve(
     axis_sum=_identity_sum,
     refresh=_no_refresh,
     compensated: bool = False,
+    project=_no_project,
 ):
     """Relaxed Jacobi with the reference's convergence semantics
     (linear_algebra.rs:172-218): the baseline residual is recorded after
@@ -162,7 +202,10 @@ def jacobi_solve(
             jnp.zeros((), bool),
         ),
     )
-    r = _norm(b - _mv(A, x, refresh), axis_sum)
+    # Stationary sweeps are NEUTRAL in the constant null mode (no
+    # amplification), so deflating once at exit suffices.
+    x = project(x)
+    r = _norm(project(b - _mv(A, x, refresh)), axis_sum)
     return x, SolveInfo(iterations=it, residual=r, diverged=diverged)
 
 
@@ -175,6 +218,7 @@ def jacobi_smooth_solve(
     axis_sum=_identity_sum,
     refresh=_no_refresh,
     compensated: bool = False,
+    project=_no_project,
 ):
     """Fixed-count damped Jacobi: the deterministic smoother used for
     warm-started transport solves (momentum, RANS k/eps — see
@@ -194,8 +238,8 @@ def jacobi_smooth_solve(
             1.0 - relaxation
         ) * x
 
-    x = lax.fori_loop(0, iterations, sweep, x0)
-    rn = _norm(b - _mv(A, x, refresh), axis_sum)
+    x = project(lax.fori_loop(0, iterations, sweep, x0))
+    rn = _norm(project(b - _mv(A, x, refresh)), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
     return x, SolveInfo(
         iterations=jnp.asarray(iterations, jnp.int32),
@@ -213,6 +257,7 @@ def bicgstab_solve(
     convergence_threshold: float = 1e-14,
     refresh=_no_refresh,
     compensated: bool = False,
+    project=_no_project,
 ):
     """Textbook BiCGSTAB (reference: linear_algebra.rs:247-269). Unlike
     the reference (fixed count, no exit), this adds a relative-residual
@@ -222,9 +267,14 @@ def bicgstab_solve(
     so the iteration freezes instead.
 
     `compensated`: accumulate f32 dot products / norms in f64 (see
-    MatrixSolverSettings.compensated_f32)."""
+    MatrixSolverSettings.compensated_f32).
+
+    `project`: nullspace deflation hook (see constant_deflation) —
+    applied to the initial residual and every matvec output, so on a
+    singular-but-consistent system all Krylov vectors stay in the
+    deflated subspace where the operator is nonsingular."""
     _dot, _norm = _reducers(compensated)
-    r0 = b - _mv(A, x0, refresh)
+    r0 = project(b - _mv(A, x0, refresh))
     # Shadow residual r_hat = r0 (the standard choice). The reference
     # uses a ones vector (linear_algebra.rs:252), which is
     # near-orthogonal to noise-like residuals and makes rho a pure
@@ -263,12 +313,12 @@ def bicgstab_solve(
 
     def body(state):
         x, r, p, rho, it, done = state
-        nu = _mv(A, p, refresh)
+        nu = project(_mv(A, p, refresh))
         d_rn = _dot(r_hat, nu, axis_sum)
         alpha = _safe_div(rho, d_rn)
         h = x + alpha * p
         s = r - alpha * nu
-        t = _mv(A, s, refresh)
+        t = project(_mv(A, s, refresh))
         d_tt = _dot(t, t, axis_sum)
         omega = _safe_div(_dot(t, s, axis_sum), d_tt)
         x_new = h + omega * s
@@ -301,7 +351,7 @@ def bicgstab_solve(
     x, r, _, _, it, _ = lax.while_loop(
         cond, body, (x0, r0, r0, rho0, jnp.zeros((), jnp.int32), done0)
     )
-    rn = _norm(b - _mv(A, x, refresh), axis_sum)
+    rn = _norm(project(b - _mv(A, x, refresh)), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
     return x, SolveInfo(iterations=it, residual=rn, diverged=diverged)
 
@@ -316,6 +366,7 @@ def gauss_seidel_solve(
     n_colors: int,
     axis_sum=_identity_sum,
     refresh=_no_refresh,
+    project=_no_project,
 ):
     """Multi-color Gauss-Seidel: rows of one color update simultaneously
     using the latest values of all other colors — the parallelizable
@@ -329,8 +380,8 @@ def gauss_seidel_solve(
             x = jnp.where(colors == c, x_gs, x)
         return x
 
-    x = lax.fori_loop(0, iterations, lambda i, x: sweep(x), x0)
-    rn = _norm(b - _mv(A, x, refresh), axis_sum)
+    x = project(lax.fori_loop(0, iterations, lambda i, x: sweep(x), x0))
+    rn = _norm(project(b - _mv(A, x, refresh)), axis_sum)
     diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
     return x, SolveInfo(
         iterations=jnp.asarray(iterations, jnp.int32), residual=rn, diverged=diverged
@@ -348,10 +399,18 @@ def iterative_solve(
     mg_hierarchy=None,
     mg_owned=None,  # (owned_mask [L], owned_global [L]) for sharded MG
     refresh=_no_refresh,
+    project=_no_project,
+    null_scale=None,  # traced scalar for coarse-level deflation (MG)
 ):
     """Solver dispatch mirroring the reference's `iterative_solve`
     (linear_algebra.rs:143-299). Handles a single system; vmap for
-    batched systems (see `solve_momentum`)."""
+    batched systems (see `solve_momentum`).
+
+    `project`/`null_scale`: constant-nullspace deflation for singular
+    (unanchored pressure-correction) systems — see constant_deflation.
+    `project` handles the fine level (it knows the active/owned mask);
+    `null_scale` lets the multigrid cycles build plain-mean projections
+    for their replicated all-active coarse levels."""
     method = settings.solver_type
     if (
         refresh is _no_refresh
@@ -376,6 +435,7 @@ def iterative_solve(
             axis_sum,
             refresh,
             compensated=settings.compensated_f32,
+            project=project,
         )
     if method == SolutionMethod.JACOBI_SMOOTH:
         return jacobi_smooth_solve(
@@ -387,6 +447,7 @@ def iterative_solve(
             axis_sum,
             refresh,
             compensated=settings.compensated_f32,
+            project=project,
         )
     if method == SolutionMethod.BICGSTAB:
         # The reference's BiCGSTAB has no convergence exit
@@ -403,6 +464,7 @@ def iterative_solve(
             convergence_threshold=settings.relative_convergence_threshold,
             refresh=refresh,
             compensated=settings.compensated_f32,
+            project=project,
         )
     if method == SolutionMethod.GAUSS_SEIDEL:
         if colors is None:
@@ -420,6 +482,7 @@ def iterative_solve(
             n_colors,
             axis_sum,
             refresh,
+            project=project,
         )
     if method == SolutionMethod.MULTIGRID:
         if mg_hierarchy is None:
@@ -436,8 +499,12 @@ def iterative_solve(
                 return gmg_solve_sharded(
                     A, b, x0, settings, mg_hierarchy, axis_sum, refresh,
                     mg_owned[0], mg_owned[1],
+                    project=project, null_scale=null_scale,
                 )
-            return gmg_solve(A, b, x0, settings, mg_hierarchy, axis_sum)
+            return gmg_solve(
+                A, b, x0, settings, mg_hierarchy, axis_sum,
+                project=project, null_scale=null_scale,
+            )
         from orc_tpu.solver.amg import (
             multigrid_solve,
             multigrid_solve_sharded,
@@ -447,6 +514,10 @@ def iterative_solve(
             return multigrid_solve_sharded(
                 A, b, x0, settings, mg_hierarchy, axis_sum, refresh,
                 mg_owned[0], mg_owned[1],
+                project=project, null_scale=null_scale,
             )
-        return multigrid_solve(A, b, x0, settings, mg_hierarchy, axis_sum)
+        return multigrid_solve(
+            A, b, x0, settings, mg_hierarchy, axis_sum,
+            project=project, null_scale=null_scale,
+        )
     raise NotImplementedError(f"solution method {method}")

@@ -41,11 +41,12 @@ from orc_tpu.ops.fields import device_bc, face_bc
 from orc_tpu.ops.gradients import pressure_gradient, velocity_gradient
 from orc_tpu.ops.interpolation import face_flux, face_pressure
 from orc_tpu.ops.spmv import EllMatrix
-from orc_tpu.solver.krylov import iterative_solve
+from orc_tpu.solver.krylov import _no_refresh, iterative_solve
 from orc_tpu.utils.settings import (
     MomentumScheme,
     NumericalSettings,
     PressureInterpolation,
+    RelaxationMode,
     SolutionMethod,
     VelocityInterpolation,
 )
@@ -59,8 +60,12 @@ class NullComm:
     step code is identical in both cases (SPMD by construction).
     """
 
-    def refresh(self, x):
-        return x
+    # The krylov-module no-op sentinel, NOT a plain method: dispatch
+    # sites test `refresh is _no_refresh` to decide the single-device
+    # fast paths (EllMatrix.prepare() slice-plan conversion, direct
+    # matvec); a bound method would defeat those checks and silently
+    # route irregular meshes onto the element-gather SpMV.
+    refresh = staticmethod(_no_refresh)
 
     def axis_sum(self, v):
         return v
@@ -142,6 +147,59 @@ def _needs_grad_p(settings: NumericalSettings) -> bool:
         settings.velocity_interpolation == VelocityInterpolation.RHIE_CHOW
         or settings.pressure_interpolation == PressureInterpolation.SECOND_ORDER
     )
+
+
+def _solve_p_prime(
+    Pmat, b_p, p, settings, zone_codes, active, comm, solver_extras
+):
+    """Solve the pressure-correction system, with the constant null
+    mode DEFLATED when the system is singular.
+
+    The reference-parity p' matrix gives every boundary face a
+    rho A^2/a/2 diagonal term (assembly.pressure_correction_system), so
+    any domain with at least one non-periodic boundary zone is
+    anchored. A FULLY periodic domain (e.g. a Taylor-Green box before
+    its symmetry reduction, homogeneous-turbulence slabs) has an
+    exactly SINGULAR system: constant nullspace, consistent RHS.
+    Krylov solvers on such systems are stable only in exact arithmetic
+    — the Jacobi-preconditioned operator loses range(A) ⊥ 1, and
+    roundoff-seeded constant components get amplified by near-singular
+    alpha/omega steps into |x| > 1e10 spikes and breakdown NaNs
+    (measured: 16^2 cavity MULTIGRID with an unanchored experimental
+    matrix). `null_scale` is 1.0 exactly when every zone is periodic
+    (merged to INTERIOR at compile) — branch-free, so the same trace
+    serves traced zone tables; the projection is psum-correct under
+    shard_map (the mean is a global scalar). Anchored systems pass
+    null_scale = 0 and the projection is the identity."""
+    from orc_tpu.mesh.zones import FaceCondition
+    from orc_tpu.ops.fields import INTERIOR
+    from orc_tpu.solver.krylov import constant_deflation
+
+    # Periodic pairs are merged into interior faces at compile time
+    # (mesh/compile._merge_periodic) — their zones linger in the table
+    # with no boundary faces, so they anchor nothing.
+    per = jnp.int32(int(FaceCondition.PERIODIC))
+    shadow = jnp.int32(int(FaceCondition.PERIODIC_SHADOW))
+    anchored = jnp.any(
+        (zone_codes != INTERIOR) & (zone_codes != per) & (zone_codes != shadow)
+    )
+    null_scale = jnp.where(anchored, 0.0, 1.0).astype(p.dtype)
+    project = constant_deflation(
+        null_scale, active=active, axis_sum=comm.axis_sum
+    )
+    p_prime, p_info = iterative_solve(
+        Pmat,
+        b_p,
+        jnp.zeros_like(p),
+        settings.matrix_solver,
+        axis_sum=comm.axis_sum,
+        refresh=comm.refresh,
+        project=project,
+        null_scale=null_scale,
+        **solver_extras,
+    )
+    p_prime = project(p_prime)  # zero-mean gauge representative
+    return comm.refresh(p_prime), p_info
 
 
 def simple_step(
@@ -247,17 +305,9 @@ def simple_step(
         mom_diag=new_mom_diag,
     )
     Pmat, b_p = pressure_correction_system(mesh, fbc, rho, flux2, new_mom_diag)
-    p_prime0 = jnp.zeros_like(p)
-    p_prime, p_info = iterative_solve(
-        Pmat,
-        b_p,
-        p_prime0,
-        settings.matrix_solver,
-        axis_sum=comm.axis_sum,
-        refresh=comm.refresh,
-        **solver_extras,
+    p_prime, p_info = _solve_p_prime(
+        Pmat, b_p, p, settings, zone_codes, active, comm, solver_extras
     )
-    p_prime = comm.refresh(p_prime)
 
     vel3, p_new, (p_corr_sq, vel_corr_sq) = apply_pressure_correction(
         mesh, fbc, settings, p_prime, new_mom_diag, new_vel, p
@@ -470,16 +520,9 @@ def ck_simple_step(
         Pmat, b_p = ck_pressure_correction(
             mesh, ck, bc, rho, F2, new_mom_diag, mom_diag_nbr=new_md_nbr
         )
-    p_prime, p_info = iterative_solve(
-        Pmat,
-        b_p,
-        jnp.zeros_like(p),
-        settings.matrix_solver,
-        axis_sum=comm.axis_sum,
-        refresh=comm.refresh,
-        **solver_extras,
+    p_prime, p_info = _solve_p_prime(
+        Pmat, b_p, p, settings, zone_codes, active, comm, solver_extras
     )
-    p_prime = comm.refresh(p_prime)
     vel3, p_new, (p_corr_sq, vel_corr_sq) = ck_apply_correction(
         mesh, ck, bc, settings, p_prime, new_mom_diag, new_vel, p
     )
@@ -635,8 +678,6 @@ def _pallas_asm_spec(mesh, table, settings, ck):
     when the configuration is eligible (ops/pallas_assembly.py), else
     None. Opt out with ORC_TPU_PALLAS_ASM=0; ORC_TPU_PALLAS_ASM=force
     enables the interpreter path on CPU (tests)."""
-    from orc_tpu.utils.settings import RelaxationMode
-
     mode = os.environ.get("ORC_TPU_PALLAS_ASM", "1")
     if (
         mode == "0"

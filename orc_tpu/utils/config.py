@@ -53,6 +53,7 @@ from orc_tpu.utils.settings import (
     PressureInterpolation,
     RestrictionMethod,
     SolutionMethod,
+    PressureCorrectionForm,
     VelocityInterpolation,
     tvd_lud,
     tvd_quick,
@@ -183,6 +184,11 @@ def parse_case(text: str) -> Case:
             {m.value: m for m in VelocityInterpolation},
             num.get("velocity_interpolation", "rhie_chow"),
             "velocity interpolation",
+        ),
+        pressure_correction_form=_enum_of(
+            {m.value: m for m in PressureCorrectionForm},
+            num.get("pressure_correction_form", "cell_difference"),
+            "pressure correction form",
         ),
         gradient_reconstruction=_enum_of(
             {m.value: m for m in GradientReconstruction},
@@ -349,6 +355,7 @@ mu = 0.001
 momentum = "cd1"                      # ud | cd1 | tvd_lud | tvd_quick | tvd_umist
 pressure_interpolation = "second_order"  # linear | linear_weighted | second_order
 velocity_interpolation = "rhie_chow"  # linear | linear_weighted | rhie_chow
+# pressure_correction_form = "cell_difference"  # cell_difference (reference parity) | face_value (consistent; pair with rhie_chow)
 gradient_reconstruction = "green_gauss_cell"  # green_gauss_cell | green_gauss_node | least_squares
 momentum_relaxation = 0.5
 relaxation_mode = "explicit"         # implicit (Patankar) for enclosed flows
@@ -419,7 +426,14 @@ def sequencing_schedule(case: Case):
     dims = [fine]
     for _ in range(levels - 1):
         nx, ny, nz = dims[0]
-        coarser = tuple(max(1, d // 2) if d > 1 else d for d in (nx, ny, nz))
+        # Prolongation (solver/sequencing.upsample_field) requires each
+        # finer dim to be an integer multiple of the coarser one, so
+        # halving is only legal while every >1 dim is even; stop the
+        # cascade at the first odd dim instead of crashing mid-run at
+        # the prolongation step.
+        if any(d > 1 and d % 2 for d in (nx, ny, nz)):
+            break
+        coarser = tuple(d // 2 if d > 1 else d for d in (nx, ny, nz))
         if coarser == dims[0]:
             break
         dims.insert(0, coarser)

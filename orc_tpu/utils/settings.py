@@ -93,6 +93,34 @@ class VelocityInterpolation(enum.Enum):
     NONE = "none"
 
 
+class PressureCorrectionForm(enum.Enum):
+    """Form of the SIMPLE velocity correction from p'.
+
+    CELL_DIFFERENCE (reference parity, solver.rs:1214-1223, the
+    default): u += (alpha_u/a) sum_f (p'_c - p'_nb) A n_out. On a
+    uniform grid this equals -2 (V/a) grad p' — exactly TWICE the
+    consistent SIMPLE update — and its compact differences SEE
+    grid-scale p' modes, damping the collocated checkerboard. That
+    extra damping is what keeps the robust LinearWeighted default
+    stable on coarse high-cell-Re grids (measured: the 16^2 Re=1000
+    cavity at pressure_relaxation 0.1 diverges exponentially under the
+    FACE_VALUE form, converges under CELL_DIFFERENCE), at the cost of
+    overscaled smooth-mode corrections — the reason the reference
+    needs pressure relaxation ~0.01 (README.md:17-19).
+
+    FACE_VALUE (consistent): u += (alpha_u/a) sum_f (p'_c - p'_f) A
+    n_out = -(alpha_u V/a) grad p' with interior p'_f linear, pressure
+    BCs p'_f = 0, prescribed-flux BCs p'_f = p'_c. The textbook
+    correction: exact magnitude on smooth fields (measured: reaches
+    the converged channel profile in ~1/4 the iterations), but its
+    wide gradient filter is BLIND to grid-scale p', so it relies on
+    Rhie-Chow fluxes (or fine grids) for checkerboard control — pair
+    it with VelocityInterpolation.RHIE_CHOW."""
+
+    CELL_DIFFERENCE = "cell_difference"
+    FACE_VALUE = "face_value"
+
+
 class GradientReconstruction(enum.Enum):
     """Cell-gradient reconstruction (reference: lib.rs:148-162).
 
@@ -270,6 +298,9 @@ class NumericalSettings:
     diffusion: DiffusionScheme = DiffusionScheme.CD
     pressure_interpolation: PressureInterpolation = PressureInterpolation.SECOND_ORDER
     velocity_interpolation: VelocityInterpolation = VelocityInterpolation.RHIE_CHOW
+    pressure_correction_form: PressureCorrectionForm = (
+        PressureCorrectionForm.CELL_DIFFERENCE
+    )
     gradient_reconstruction: GradientReconstruction = (
         GradientReconstruction.GREEN_GAUSS_CELL
     )

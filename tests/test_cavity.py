@@ -181,3 +181,53 @@ def test_cavity_re1000_ghia_flagship():
     ev = np.abs(v_s - np.asarray(ghia_v)).max()
     assert eu <= 0.05, dict(zip(ghia_y, np.abs(u_s - np.asarray(ghia_u))))
     assert ev <= 0.05, dict(zip(ghia_x, np.abs(v_s - np.asarray(ghia_v))))
+
+
+def test_correction_forms_agree():
+    """PressureCorrectionForm.CELL_DIFFERENCE (reference parity, 2x
+    compact) and FACE_VALUE (consistent -(V/a) grad p') must converge
+    to the SAME flow field — the correction form only shapes the
+    trajectory, not the fixed point (at convergence p' -> 0 and the
+    momentum/continuity equations alone set the answer). Run with
+    Rhie-Chow (FACE_VALUE's stable pairing; see the enum docstring)."""
+    from orc_tpu.models.cavity import cavity_case
+    from orc_tpu.solver.simple import initial_state, solve_steady
+    from orc_tpu.utils.settings import (
+        MatrixSolverSettings,
+        MomentumScheme,
+        NumericalSettings,
+        PreconditionMethod,
+        PressureCorrectionForm,
+        PressureInterpolation,
+        RelaxationMode,
+        SolutionMethod,
+        VelocityInterpolation,
+    )
+
+    mesh, table = cavity_case(n=16, lid_velocity=1.0)
+    base = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+        momentum_relaxation=0.7,
+        pressure_relaxation=0.1,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=40,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    )
+    fields = {}
+    for form in PressureCorrectionForm:
+        s = base.replace(pressure_correction_form=form)
+        st, hist = solve_steady(
+            mesh, table, s, 1.0, 0.01, state=initial_state(mesh),
+            iterations=2500, reporting_interval=2500, verbose=False,
+        )
+        assert not bool(np.any(np.asarray(hist[-1].diverged))), form
+        assert float(hist[-1].p_corr_norm[-1]) < 1e-8, (
+            form, float(hist[-1].p_corr_norm[-1]))
+        fields[form] = np.asarray(st.vel)
+    a, b = fields.values()
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-7)

@@ -60,8 +60,15 @@ def test_couette_moving_wall():
 
 
 def test_couette_plus_pressure_gradient():
-    r = run(ChannelFlowParameters(top_wall_velocity=5e-4, dp_dx=10.0))
-    assert r["passed"], (r["u_mean"], r["u_mean_analytical"])
+    # ny=16: the CONVERGED ny=8 answer carries 5.7% one-sided wall-flux
+    # truncation error on u_max (the top wall moves while u'' =
+    # dp_dx/mu curves the profile; (dy/4) u''/u'_wall = 5.68%), which
+    # collapses under refinement (ny=16: 0.06% at convergence). ny=8
+    # only ever passed because 1500 iterations hadn't fully converged —
+    # found when the FACE_VALUE correction form (which converges this
+    # case ~4x faster) reached the converged field inside the budget.
+    r = run(ChannelFlowParameters(top_wall_velocity=5e-4, dp_dx=10.0), ny=16)
+    assert r["passed"], (r["u_max"], r["u_max_analytical"])
 
 
 def test_default_schemes_rhie_chow_second_order():

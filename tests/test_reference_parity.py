@@ -292,6 +292,11 @@ class RefAssembler:
                     A[c, j] = -a_nb
                     a_p += a_nb
                 else:
+                    # Reference rule retained (discretization.rs:434-436,
+                    # its own TODO at :426 notwithstanding): every
+                    # boundary face adds rho A^2/a/2 — the screened-
+                    # Poisson damping the stateless-flux loop needs
+                    # (see assembly.pressure_correction_system).
                     a_ii = np.linalg.norm(mom_diag[c] * n_in)
                     a_p += rho * self.area[f] ** 2 / a_ii / 2.0
             A[c, c] = a_p
@@ -306,15 +311,21 @@ class RefAssembler:
             corr = np.zeros(3)
             for f in self.cell_faces[c]:
                 code = self.code[f]
+                # Reference cell-difference form (solver.rs:1214-1223)
+                # — the PressureCorrectionForm.CELL_DIFFERENCE default.
+                # The consistent FACE_VALUE option (p'_f linear) is a
+                # documented deviation selectable in settings; its
+                # equivalence at convergence is pinned by
+                # tests/test_cavity.py::test_correction_forms_agree.
                 if code in (WALL, SYM, V_IN):
-                    ppn = p_prime[c]
+                    ppf = p_prime[c]
                 elif code in (P_IN, P_OUT):
-                    ppn = 0.0
+                    ppf = 0.0
                 else:
-                    ppn = p_prime[self.other(f, c)]
+                    ppf = p_prime[self.other(f, c)]
                 n = self.n_out(f, c)
                 corr += (
-                    (n / mom_diag[c]) * (p_prime[c] - ppn) * self.area[f]
+                    (n / mom_diag[c]) * (p_prime[c] - ppf) * self.area[f]
                 )
             new_vel[c] += alpha_u * corr
             v_sq += corr @ corr

@@ -336,3 +336,86 @@ def test_compensated_f32_reductions():
     np.testing.assert_allclose(
         np.asarray(x_c), x_true, rtol=2e-4, atol=2e-4
     )
+
+
+def test_deflated_bicgstab_singular_system():
+    """Constant-nullspace deflation (krylov.constant_deflation): a
+    singular-but-consistent system — a 1D periodic Poisson ring, the
+    structure of the p' system on a fully periodic domain — must solve
+    to the zero-mean representative without NaN/blowup. Without the
+    projection, the Jacobi-preconditioned operator loses
+    range(A) ⊥ 1 and post-convergence BiCGSTAB steps amplify a
+    roundoff-seeded constant (measured |x| > 1e10 spikes)."""
+    from orc_tpu.solver.krylov import bicgstab_solve, constant_deflation
+
+    n = 64
+    neighbors = np.stack(
+        [(np.arange(n) - 1) % n, (np.arange(n) + 1) % n], axis=1
+    )
+    A = EllMatrix(
+        diag=jnp.full((n,), 2.0),
+        off=jnp.full((n, 2), -1.0),
+        neighbors=jnp.asarray(neighbors, jnp.int32),
+    )
+    x_true = jnp.asarray(np.sin(2 * np.pi * np.arange(n) / n))
+    x_true = x_true - jnp.mean(x_true)
+    b = A.matvec(x_true)  # consistent RHS (sum ~ 0)
+    project = constant_deflation(jnp.asarray(1.0))
+    Ap, inv_d = A.jacobi_preconditioned()
+    x, info = bicgstab_solve(
+        Ap, b * inv_d, jnp.zeros((n,)), 200,
+        convergence_threshold=1e-12, project=project,
+    )
+    assert not bool(info.diverged)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), atol=1e-8)
+    assert abs(float(jnp.mean(x))) < 1e-10
+
+
+def test_fully_periodic_domain_simple_runs():
+    """End-to-end singular-p'-system coverage: a FULLY periodic box
+    (every boundary zone merged at compile) exercises the deflated
+    pressure solve inside the SIMPLE step — without deflation this
+    diverges on the p' constant mode. Body-force driven so the flow is
+    nontrivial; asserts bounded fields and the zero-mean p' gauge."""
+    from orc_tpu.mesh import structured_box_mesh
+    from orc_tpu.solver.simple import initial_state, solve_steady
+    from orc_tpu.utils.settings import (
+        MomentumScheme,
+        NumericalSettings,
+        PressureInterpolation,
+        RelaxationMode,
+        VelocityInterpolation,
+    )
+
+    mesh, table = structured_box_mesh(
+        8, 8, 4, lengths=(1.0, 1.0, 0.5), periodic=("x", "y", "z"),
+        dtype=jnp.float64,
+    )
+    settings = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+        momentum_relaxation=0.7,
+        pressure_relaxation=0.1,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=50,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+        momentum_source=lambda cc, vol: jnp.stack(
+            [vol, jnp.zeros_like(vol), jnp.zeros_like(vol)], axis=-1
+        ),
+    )
+    state, hist = solve_steady(
+        mesh, table, settings, 1.0, 0.1,
+        state=initial_state(mesh), iterations=40, reporting_interval=40,
+        verbose=False,
+    )
+    assert not bool(np.any(np.asarray(hist[-1].diverged)))
+    vel = np.asarray(state.vel)
+    p = np.asarray(state.p)
+    assert np.isfinite(vel).all() and np.isfinite(p).all()
+    # The gauge: p' is projected to zero mean every iteration, so the
+    # accumulated p stays zero-mean too (fully periodic: no anchor).
+    assert abs(p.mean()) < 1e-8 * (abs(p).max() + 1e-30)
