@@ -381,9 +381,16 @@ def extended_metrics():
     diff = diffusion_system(mesh_c, fbc, mu)
     ck_c = build_ck_geometry(mesh_c, len(table_c.zone_ids))
     ck_diff = ck_diffusion(mesh_c, ck_c, ck_bc(ck_c, zc, zs, zv), mu)
+    # Fused Pallas assembly kernels, exactly as solve_steady enables
+    # them by default for this (eligible) config — without this the
+    # metric would silently measure the unfused path.
+    from orc_tpu.solver.simple import _pallas_asm_spec
+
+    pallas_asm = _pallas_asm_spec(mesh_c, table_c, settings, ck_c)
     n_it = 25
     run = _make_chunk_runner(
-        mesh_c, settings, diff, n_it, {}, ck=ck_c, ck_diff=ck_diff
+        mesh_c, settings, diff, n_it, {}, ck=ck_c, ck_diff=ck_diff,
+        pallas_asm=pallas_asm,
     )
     state = initial_state(mesh_c)
     state, _ = run(state, zc, zs, zv, 1.0, 1e-3)

@@ -106,6 +106,14 @@ def load_or_initialize(
                 f"data file {path} has {vel.shape[0]} cells, mesh has "
                 f"{mesh.n_cells}"
             )
+        if mesh.cell_order is not None:
+            # Text files are in raw-mesh cell order (the format's
+            # implicit schema, io.rs:519-571); map into the compiled
+            # (RCM) order: compiled[i] = raw[cell_order[i]].
+            import numpy as np
+
+            order = np.asarray(mesh.cell_order)
+            vel, p = vel[order], p[order]
         return FlowState(
             vel=jnp.asarray(vel, mesh.dtype),
             p=jnp.asarray(p, mesh.dtype),

@@ -30,15 +30,34 @@ def _vec(v, precision) -> str:
     return "(" + ", ".join(rust_sci(c, precision) for c in v) + ")"
 
 
+def _raw_order_inv(mesh):
+    """Permutation mapping compiled-order arrays to the raw-file cell
+    order, or None when the compile kept the input order. The text
+    formats' implicit schema is the RAW mesh order (io.rs:519-571), so
+    RCM-compiled meshes (mesh/reorder.py) must not leak their internal
+    ordering into the files."""
+    order = getattr(mesh, "cell_order", None)
+    if order is None:
+        return None
+    order = np.asarray(order)
+    inv = np.empty(order.shape[0], dtype=np.int64)
+    inv[order] = np.arange(order.shape[0])
+    return inv
+
+
 def write_data(path, mesh, vel, p, precision: int = 6):
     """Write the per-cell solution (reference: io.rs:573-620).
 
     `vel`: [C,3]; `p`: [C]. Centroids always use 2-decimal precision as
-    the reference's Vector Display impl does (lib.rs:551-556).
+    the reference's Vector Display impl does (lib.rs:551-556). Rows are
+    emitted in raw-mesh cell order (the format's implicit schema).
     """
     cc = np.asarray(mesh.cell_centroid)
     vel = np.asarray(vel)
     p = np.asarray(p)
+    inv = _raw_order_inv(mesh)
+    if inv is not None:
+        cc, vel, p = cc[inv], vel[inv], p[inv]
     with open(path, "w") as f:
         for c in range(cc.shape[0]):
             f.write(
@@ -75,6 +94,9 @@ def write_gradients(path, mesh, grad_vel, grad_p, precision: int = 7):
     cc = np.asarray(mesh.cell_centroid)
     gv = np.asarray(grad_vel).reshape(cc.shape[0], 9)
     gp = np.asarray(grad_p)
+    inv = _raw_order_inv(mesh)
+    if inv is not None:
+        cc, gv, gp = cc[inv], gv[inv], gp[inv]
     with open(path, "w") as f:
         for c in range(cc.shape[0]):
             f.write(

@@ -131,21 +131,7 @@ def _structured_box_mesh_generic(
     # TGRID-writer convention: high plane = PERIODIC (code 12), low
     # plane = PERIODIC_SHADOW (code 8) — matching write_tgrid so the
     # analytic and round-tripped tables agree.
-    def zone_type(axis):
-        return (
-            (FaceCondition.PERIODIC_SHADOW, FaceCondition.PERIODIC)
-            if axis in per_axes
-            else (FaceCondition.WALL, FaceCondition.WALL)
-        )
-
-    zones = {1: FaceZone(1, FaceCondition.INTERIOR, names["interior"])}
-    for axis, (lo_key, hi_key) in enumerate(
-        (("x-", "x+"), ("y-", "y+"), ("z-", "z+"))
-    ):
-        lo_t, hi_t = zone_type(axis)
-        zones[2 + 2 * axis] = FaceZone(2 + 2 * axis, lo_t, names[lo_key])
-        zones[3 + 2 * axis] = FaceZone(3 + 2 * axis, hi_t, names[hi_key])
-    table = BoundaryTable(zones)
+    table = _box_zone_table(names, per_axes, (nx, ny, nz))
 
     owners, neighbors, areas, normals, cents, zslots, shifts = (
         [], [], [], [], [], [], []
@@ -240,20 +226,30 @@ def _structured_box_mesh_generic(
     return mesh, table
 
 
-def _box_zone_table(names, per_axes):
+def _box_zone_table(names, per_axes, dims):
     """Zone table shared by both structured constructions: 1 interior,
     2..7 the axis boundary pairs. Periodic axes follow the TGRID-writer
     convention (high plane = PERIODIC code 12, low = PERIODIC_SHADOW
-    code 8) so analytic and round-tripped tables agree."""
+    code 8) so analytic and round-tripped tables agree.
+
+    A non-periodic axis with a SINGLE cell is a 2D reduction: its two
+    planes default to SYMMETRY, not WALL. A wall default there silently
+    adds a parasitic 2*mu*A/(V*h/2) drag on every cell (~4 nu/h^2 decay
+    rate — measured 5x the physical rate on a Taylor-Green vortex
+    before this default existed); every shipped model overrode it, but
+    user-built 2D cases shouldn't have to know to."""
     zones = {1: FaceZone(1, FaceCondition.INTERIOR, names["interior"])}
     for axis, (lo_key, hi_key) in enumerate(
         (("x-", "x+"), ("y-", "y+"), ("z-", "z+"))
     ):
-        lo_t, hi_t = (
-            (FaceCondition.PERIODIC_SHADOW, FaceCondition.PERIODIC)
-            if axis in per_axes
-            else (FaceCondition.WALL, FaceCondition.WALL)
-        )
+        if axis in per_axes:
+            lo_t, hi_t = (
+                FaceCondition.PERIODIC_SHADOW, FaceCondition.PERIODIC
+            )
+        elif dims[axis] == 1:
+            lo_t = hi_t = FaceCondition.SYMMETRY
+        else:
+            lo_t = hi_t = FaceCondition.WALL
         zones[2 + 2 * axis] = FaceZone(2 + 2 * axis, lo_t, names[lo_key])
         zones[3 + 2 * axis] = FaceZone(3 + 2 * axis, hi_t, names[hi_key])
     return BoundaryTable(zones)
@@ -286,7 +282,7 @@ def _structured_compile(
     h = (lengths[0] / nx, lengths[1] / ny, lengths[2] / nz)
     o = origin
     C = nx * ny * nz
-    table = _box_zone_table(names, per_axes)
+    table = _box_zone_table(names, per_axes, dims)
     slot = table.slot_of_zone
     int_slot = slot[1]
 
@@ -650,15 +646,17 @@ def write_tgrid(
                 zone_faces[key].append((nodes, c_hi, c_lo))
 
     n_faces = sum(len(v) for v in zone_faces.values())
-    bc_code = {
-        "interior": 2,
-        "x-": 3,
-        "x+": 3,
-        "y-": 3,
-        "y+": 3,
-        "z-": 3,
-        "z+": 3,
-    }
+    # Mirror _box_zone_table: walls (code 3) on real boundaries,
+    # SYMMETRY (code 7) on the planes of a single-cell non-periodic
+    # axis (a 2D reduction), periodic pair codes on periodic axes —
+    # so a written+re-read box gets the same BoundaryTable as the
+    # analytic construction.
+    bc_code = {"interior": 2}
+    for axis, (lo_key, hi_key) in enumerate(
+        (("x-", "x+"), ("y-", "y+"), ("z-", "z+"))
+    ):
+        code = 7 if (nx, ny, nz)[axis] == 1 else 3
+        bc_code[lo_key] = bc_code[hi_key] = code
     for axis in per_axes:
         lo_key, hi_key = (("x-", "x+"), ("y-", "y+"), ("z-", "z+"))[axis]
         bc_code[hi_key] = 12  # PERIODIC

@@ -75,17 +75,31 @@ def rcm_permutation(
     """
     C, K = cell_neighbors.shape
     # CSR adjacency from the ELL table (interior entries only).
+    # np.nonzero is row-major, so the entries are already grouped by
+    # row in order — `nbr` IS the CSR data array.
     rows, cols = np.nonzero(entry_interior)
     nbr = cell_neighbors[rows, cols]
     deg = np.zeros(C, dtype=np.int64)
     np.add.at(deg, rows, 1)
     starts = np.zeros(C + 1, dtype=np.int64)
     np.cumsum(deg, out=starts[1:])
-    adj = np.empty(len(rows), dtype=np.int64)
-    fill = starts[:-1].copy()
-    for r, v in zip(rows, nbr):
-        adj[fill[r]] = v
-        fill[r] += 1
+    adj = nbr
+
+    try:
+        # C-speed RCM; the pure-numpy BFS below is the fallback (and
+        # the behavioral spec). Any valid RCM ordering works — callers
+        # only rely on bandwidth reduction, not the exact permutation.
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        a = csr_matrix(
+            (np.ones(len(adj), np.int8), adj, starts), shape=(C, C)
+        )
+        return np.asarray(
+            reverse_cuthill_mckee(a, symmetric_mode=True), dtype=np.int64
+        )
+    except ImportError:  # pragma: no cover
+        pass
 
     visited = np.zeros(C, dtype=bool)
     order = np.empty(C, dtype=np.int64)

@@ -313,3 +313,31 @@ type = "symmetry"
 
     c = load_case(str(case))
     assert sequencing_schedule(c) == [(4, 4, 1), (8, 8, 1), (16, 16, 1)]
+
+
+def test_sequencing_schedule_stops_at_odd_dims(tmp_path):
+    """Halving must stop at the first odd dim: every adjacent pair in
+    the schedule must be integer-divisible or the prolongation step
+    (solver/sequencing.upsample_field) raises mid-cascade."""
+    case = tmp_path / "case.toml"
+    case.write_text(
+        """
+[case]
+iterations = 1
+[case.generate]
+kind = "cavity"
+nx = 100
+ny = 100
+nz = 1
+[case.sequencing]
+levels = 4
+"""
+    )
+    from orc_tpu.utils.config import load_case, sequencing_schedule
+
+    dims = sequencing_schedule(load_case(str(case)))
+    assert dims == [(25, 25, 1), (50, 50, 1), (100, 100, 1)]
+    for coarse, fine in zip(dims, dims[1:]):
+        assert all(
+            f % c == 0 for c, f in zip(coarse, fine) if c > 1
+        ), (coarse, fine)

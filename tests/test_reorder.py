@@ -206,3 +206,45 @@ def test_irregular_solve_matches_structured():
         np.asarray(st_s.vel)[key_s],
         rtol=1e-8, atol=1e-10,
     )
+
+
+def test_null_comm_refresh_is_sentinel():
+    """The single-device comm hook must BE the krylov no-op sentinel:
+    `iterative_solve` gates the slice-plan fast path (EllMatrix
+    .prepare()) on `refresh is _no_refresh`, so a plain bound method
+    would silently route every irregular-mesh SIMPLE solve onto the
+    element-gather SpMV."""
+    from orc_tpu.solver.krylov import _no_refresh
+    from orc_tpu.solver.simple import NullComm
+
+    assert NullComm().refresh is _no_refresh
+    assert NullComm.refresh is _no_refresh
+
+
+def test_text_io_raw_order_round_trip(tmp_path):
+    """Text data files use RAW mesh cell order (the format's implicit
+    schema, io.rs:519-571): an RCM-compiled mesh must write rows in
+    raw order and warm-start back into compiled order."""
+    from orc_tpu.io.checkpoint import load_or_initialize
+    from orc_tpu.io.data import read_data, write_data
+
+    mesh, table = _random_irregular_mesh(9)
+    assert mesh.cell_order is not None
+    C = mesh.n_cells
+    # A recognizable compiled-order field: p[c] = raw id of cell c.
+    order = np.asarray(mesh.cell_order)
+    p = jnp.asarray(order, mesh.dtype)
+    vel = jnp.stack([p, 2 * p, jnp.zeros_like(p)], axis=-1)
+    path = tmp_path / "data.csv"
+    write_data(path, mesh, vel, p)
+
+    # On disk: row i (raw cell i) must hold value i.
+    vel_raw, p_raw = read_data(path)
+    np.testing.assert_allclose(p_raw, np.arange(C), atol=1e-12)
+
+    # Warm start maps back into compiled order.
+    state = load_or_initialize(str(path), mesh, table, 0.01, 1.0)
+    np.testing.assert_allclose(np.asarray(state.p), order, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(state.vel)[:, 1], 2 * order, atol=1e-9
+    )

@@ -141,3 +141,71 @@ def test_courant_numbers():
     np.testing.assert_allclose(float(avg), 0.5, rtol=1e-12)
     np.testing.assert_allclose(float(lo), 0.5, rtol=1e-12)
     np.testing.assert_allclose(float(hi), 0.5, rtol=1e-12)
+
+
+def test_taylor_green_vortex_decay():
+    """2D Taylor-Green vortex in a fully periodic box: the one exact
+    UNSTEADY nonlinear Navier-Stokes solution (convection and pressure
+    balance pointwise; each velocity component decays as e^(-2 nu t)).
+    Validates transient marching + periodic wrap faces + pressure
+    coupling together — none of the channel-flow validations exercise
+    the nonlinear terms against an exact transient answer.
+
+    Also pins the single-cell-axis SYMMETRY default (mesh/generate
+    _box_zone_table): with the old z-wall default this decays ~3x too
+    fast (parasitic 4 nu / Lz^2 drag) and the assertions below fail.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from orc_tpu.utils.settings import (
+        NumericalSettings as NS,
+        RelaxationMode,
+    )
+    from orc_tpu.mesh import structured_box_mesh
+
+    N = 32
+    rho, mu = 1.0, 0.02  # nu = 0.02
+    nu = mu / rho
+    mesh, table = structured_box_mesh(
+        N, N, 1, lengths=(2 * np.pi, 2 * np.pi, 1.0),
+        periodic=("x", "y"), dtype=jnp.float64,
+    )
+    cc = np.asarray(mesh.cell_centroid)
+    x, y = cc[:, 0], cc[:, 1]
+    u0 = np.sin(x) * np.cos(y)
+    v0 = -np.cos(x) * np.sin(y)
+    p0 = rho / 4.0 * (np.cos(2 * x) + np.cos(2 * y))
+    st = initial_state(mesh)
+    st = dataclasses.replace(
+        st,
+        vel=jnp.asarray(np.stack([u0, v0, np.zeros_like(u0)], -1)),
+        p=jnp.asarray(p0),
+    )
+    settings = NS(
+        momentum=MomentumScheme.CD1,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        pressure_relaxation=0.3,
+        momentum_relaxation=0.7,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=50,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+    )
+    dt, nsteps = 0.05, 20  # t = 1.0
+    st, _ = solve_transient(
+        mesh, table, settings, rho, mu, dt, nsteps,
+        inner_iterations=10, state=st, verbose=False,
+    )
+    t = dt * nsteps
+    decay = np.exp(-2 * nu * t)
+    u = np.asarray(st.vel[:, 0])
+    v = np.asarray(st.vel[:, 1])
+    err = max(np.abs(u - u0 * decay).max(), np.abs(v - v0 * decay).max())
+    assert err < 5e-3, f"max pointwise error {err:.2e} vs exact decay"
+    e_ratio = np.sum(u * u + v * v) / (decay**2 * np.sum(u0**2 + v0**2))
+    assert abs(e_ratio - 1.0) < 5e-3, f"kinetic-energy ratio {e_ratio:.4f}"
