@@ -121,7 +121,8 @@ def main():
 
         extras = dict(mg_hierarchy=build_mg_hierarchy(mesh, diff, settings))
     run = _make_chunk_runner(
-        mesh, settings, diff, n_iters, extras, ck=ck, ck_diff=ck_diff
+        mesh, settings, diff, n_iters, extras, ck=ck, ck_diff=ck_diff,
+        maybe_singular=False,
     )
     import numpy as np
 
@@ -391,6 +392,7 @@ def extended_metrics():
     run = _make_chunk_runner(
         mesh_c, settings, diff, n_it, {}, ck=ck_c, ck_diff=ck_diff,
         pallas_asm=pallas_asm,
+        maybe_singular=False,
     )
     state = initial_state(mesh_c)
     state, _ = run(state, zc, zs, zv, 1.0, 1e-3)

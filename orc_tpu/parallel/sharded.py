@@ -122,6 +122,7 @@ def make_sharded_step(
     use_ck: bool = False,
     n_zones: int = 0,
     mg_hierarchy=None,
+    maybe_singular: bool = True,
 ):
     """Build the jitted shard_map'ed n-step SIMPLE runner.
 
@@ -186,7 +187,7 @@ def make_sharded_step(
             def body(s, _):
                 return ck_simple_step(
                     lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s,
-                    extras, comm=comm,
+                    extras, comm=comm, maybe_singular=maybe_singular,
                 )
 
         else:
@@ -196,7 +197,7 @@ def make_sharded_step(
             def body(s, _):
                 return simple_step(
                     lmesh, zc, zs, zv, settings, rho, mu, diff, s,
-                    extras, comm=comm,
+                    extras, comm=comm, maybe_singular=maybe_singular,
                 )
 
         # Kahan-compensated f32 state accumulation (same mechanism as
@@ -353,9 +354,13 @@ def solve_steady_sharded(
                 settings.matrix_solver,
             )
 
+    from orc_tpu.solver.simple import table_maybe_singular
+
+    maybe_singular = table_maybe_singular(table)
     run = make_sharded_step(
         partition, settings, device_mesh, n_steps=reporting_interval,
         use_ck=bool(use_ck), n_zones=len(table.zone_ids), mg_hierarchy=mg_h,
+        maybe_singular=maybe_singular,
     )
     history = []
     done = 0
@@ -366,7 +371,7 @@ def solve_steady_sharded(
             run = make_sharded_step(
                 partition, settings, device_mesh, n_steps=k,
                 use_ck=bool(use_ck), n_zones=len(table.zone_ids),
-                mg_hierarchy=mg_h,
+                mg_hierarchy=mg_h, maybe_singular=maybe_singular,
             )
         local, metrics = run(local, zc, zs, zv, rho, mu)
         jax.block_until_ready(local)

@@ -149,8 +149,27 @@ def _needs_grad_p(settings: NumericalSettings) -> bool:
     )
 
 
+def table_maybe_singular(table) -> bool:
+    """True when NO zone can anchor the p' system — every zone is
+    INTERIOR or a (compile-merged) periodic pair, i.e. the domain is
+    fully periodic and the pressure-correction matrix is exactly
+    singular. Host-side and static: zone TYPES are fixed per problem
+    (only BC VALUES are traced), so anchored problems skip the
+    deflation machinery entirely (bitwise-identical solve, no extra
+    reductions) while fully-periodic ones get it."""
+    from orc_tpu.mesh.zones import FaceCondition
+
+    exempt = (
+        FaceCondition.INTERIOR,
+        FaceCondition.PERIODIC,
+        FaceCondition.PERIODIC_SHADOW,
+    )
+    return all(fz.zone_type in exempt for fz in table.zones.values())
+
+
 def _solve_p_prime(
-    Pmat, b_p, p, settings, zone_codes, active, comm, solver_extras
+    Pmat, b_p, p, settings, active, comm, solver_extras,
+    maybe_singular: bool,
 ):
     """Solve the pressure-correction system, with the constant null
     mode DEFLATED when the system is singular.
@@ -166,27 +185,24 @@ def _solve_p_prime(
     roundoff-seeded constant components get amplified by near-singular
     alpha/omega steps into |x| > 1e10 spikes and breakdown NaNs
     (measured: 16^2 cavity MULTIGRID with an unanchored experimental
-    matrix). `null_scale` is 1.0 exactly when every zone is periodic
-    (merged to INTERIOR at compile) — branch-free, so the same trace
-    serves traced zone tables; the projection is psum-correct under
-    shard_map (the mean is a global scalar). Anchored systems pass
-    null_scale = 0 and the projection is the identity."""
-    from orc_tpu.mesh.zones import FaceCondition
-    from orc_tpu.ops.fields import INTERIOR
-    from orc_tpu.solver.krylov import constant_deflation
+    matrix). `maybe_singular` comes statically from the zone table
+    (table_maybe_singular); the projection is psum-correct under
+    shard_map (the mean is a global scalar)."""
+    from orc_tpu.solver.krylov import _no_project, constant_deflation
 
-    # Periodic pairs are merged into interior faces at compile time
-    # (mesh/compile._merge_periodic) — their zones linger in the table
-    # with no boundary faces, so they anchor nothing.
-    per = jnp.int32(int(FaceCondition.PERIODIC))
-    shadow = jnp.int32(int(FaceCondition.PERIODIC_SHADOW))
-    anchored = jnp.any(
-        (zone_codes != INTERIOR) & (zone_codes != per) & (zone_codes != shadow)
-    )
-    null_scale = jnp.where(anchored, 0.0, 1.0).astype(p.dtype)
-    project = constant_deflation(
-        null_scale, active=active, axis_sum=comm.axis_sum
-    )
+    if maybe_singular:
+        null_scale = jnp.asarray(1.0, p.dtype)
+        project = constant_deflation(
+            null_scale, active=active, axis_sum=comm.axis_sum
+        )
+        extra = dict(project=project, null_scale=null_scale)
+    else:
+        # Anchored problem (static fact from the zone table): the
+        # projections would be exact identities — skip them so the
+        # solve is bitwise-identical to the pre-deflation code and
+        # pays zero extra reductions.
+        project = _no_project
+        extra = {}
     p_prime, p_info = iterative_solve(
         Pmat,
         b_p,
@@ -194,8 +210,7 @@ def _solve_p_prime(
         settings.matrix_solver,
         axis_sum=comm.axis_sum,
         refresh=comm.refresh,
-        project=project,
-        null_scale=null_scale,
+        **extra,
         **solver_extras,
     )
     p_prime = project(p_prime)  # zero-mean gauge representative
@@ -215,9 +230,11 @@ def simple_step(
     solver_extras: Optional[dict] = None,
     comm: Optional[NullComm] = None,
     inertia=None,
+    maybe_singular: bool = True,
 ):
     """One SIMPLE iteration. Traceable; all arguments but `settings`
-    (static), `solver_extras` (aux pytrees) and `comm` are device data.
+    and `maybe_singular` (static), `solver_extras` (aux pytrees) and
+    `comm` are device data.
     Runs unchanged on one device (comm=NullComm) or inside `shard_map`
     with cells partitioned across a device mesh."""
     solver_extras = solver_extras or {}
@@ -306,7 +323,7 @@ def simple_step(
     )
     Pmat, b_p = pressure_correction_system(mesh, fbc, rho, flux2, new_mom_diag)
     p_prime, p_info = _solve_p_prime(
-        Pmat, b_p, p, settings, zone_codes, active, comm, solver_extras
+        Pmat, b_p, p, settings, active, comm, solver_extras, maybe_singular
     )
 
     vel3, p_new, (p_corr_sq, vel_corr_sq) = apply_pressure_correction(
@@ -362,6 +379,7 @@ def ck_simple_step(
     inertia=None,
     comm: Optional[NullComm] = None,
     pallas_asm=None,  # static (cols, dims) -> fused assembly kernels
+    maybe_singular: bool = True,
 ):
     """One SIMPLE iteration in the gather-free (c,k)-direct formulation
     (see orc_tpu.ops.ck_ops) — the fast path for structured meshes.
@@ -521,7 +539,7 @@ def ck_simple_step(
             mesh, ck, bc, rho, F2, new_mom_diag, mom_diag_nbr=new_md_nbr
         )
     p_prime, p_info = _solve_p_prime(
-        Pmat, b_p, p, settings, zone_codes, active, comm, solver_extras
+        Pmat, b_p, p, settings, active, comm, solver_extras, maybe_singular
     )
     vel3, p_new, (p_corr_sq, vel_corr_sq) = ck_apply_correction(
         mesh, ck, bc, settings, p_prime, new_mom_diag, new_vel, p
@@ -568,13 +586,14 @@ CK_AUTO_MAX_CELLS = int(os.environ.get("ORC_TPU_CK_MAX_CELLS", "10000000"))
 @partial(
     jax.jit,
     static_argnames=(
-        "settings", "n_steps", "n_colors", "use_ck", "pallas_asm"
+        "settings", "n_steps", "n_colors", "use_ck", "pallas_asm",
+        "maybe_singular",
     ),
 )
 def _run_scan(
     mesh, diff, ck, ck_diff, state, zc, zs, zv, rho, mu, colors,
     mg_hierarchy, *, settings, n_steps, n_colors, use_ck,
-    pallas_asm=None,
+    pallas_asm=None, maybe_singular=True,
 ):
     """Module-level jitted scan so repeated solve_steady calls on the
     same mesh/settings reuse the compiled executable (a per-call jit
@@ -589,10 +608,11 @@ def _run_scan(
         if use_ck:
             return ck_simple_step(
                 mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s, extras,
-                pallas_asm=pallas_asm,
+                pallas_asm=pallas_asm, maybe_singular=maybe_singular,
             )
         return simple_step(
-            mesh, zc, zs, zv, settings, rho, mu, diff, s, extras
+            mesh, zc, zs, zv, settings, rho, mu, diff, s, extras,
+            maybe_singular=maybe_singular,
         )
 
     # Kahan-compensated state accumulation for f32 runs (see
@@ -628,7 +648,7 @@ def _run_scan(
 
 def _make_chunk_runner(
     mesh, settings, diff, n_steps, solver_extras, ck=None, ck_diff=None,
-    pallas_asm=None,
+    pallas_asm=None, maybe_singular=True,
 ):
     """`lax.scan` runner over n_steps SIMPLE iterations.
 
@@ -668,6 +688,7 @@ def _make_chunk_runner(
             n_colors=n_colors,
             use_ck=ck is not None,
             pallas_asm=pallas_asm,
+            maybe_singular=maybe_singular,
         )
 
     return run
@@ -791,6 +812,7 @@ def solve_steady(
         )
 
     pallas_asm = _pallas_asm_spec(mesh, table, settings, ck)
+    maybe_singular = table_maybe_singular(table)
 
     if ck is not None and mesh.neighbor_offsets is not None:
         # Drop this frame's references to the big tables too so the
@@ -803,6 +825,7 @@ def solve_steady(
     run = _make_chunk_runner(
         mesh, settings, diff, reporting_interval, solver_extras,
         ck=ck, ck_diff=ck_diff, pallas_asm=pallas_asm,
+        maybe_singular=maybe_singular,
     )
     history = []
     done = 0
@@ -813,6 +836,7 @@ def solve_steady(
             run = _make_chunk_runner(
                 mesh, settings, diff, n, solver_extras, ck=ck,
                 ck_diff=ck_diff, pallas_asm=pallas_asm,
+                maybe_singular=maybe_singular,
             )
         state, metrics = run(state, zc, zs, zv, rho, mu)
         jax.block_until_ready(state)

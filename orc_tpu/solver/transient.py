@@ -54,6 +54,9 @@ def solve_transient(
     leading axis [n_steps] from each step's final inner iteration).
     """
     table.validate_supported()
+    from orc_tpu.solver.simple import table_maybe_singular
+
+    maybe_singular = table_maybe_singular(table)
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     if state is None:
         state = initial_state(mesh)
@@ -98,10 +101,12 @@ def solve_transient(
                     return ck_simple_step(
                         mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff,
                         si, solver_extras, inertia=inertia,
+                        maybe_singular=maybe_singular,
                     )
                 return simple_step(
                     mesh, zc, zs, zv, settings, rho, mu, diff, si,
                     solver_extras, inertia=inertia,
+                    maybe_singular=maybe_singular,
                 )
 
             s2, metrics = lax.scan(inner, s, None, length=inner_iterations)

@@ -268,9 +268,11 @@ def rans_outer_step(
         jnp.where(is_wall_face, mu_w[:, None], mu + mu_t[:, None]),
     )
     ck_diff = ck_diffusion(mesh, ckg, bc0, gamma)
+    # RANS runs always have wall zones (the wall-function machinery
+    # requires them), so the p' system is statically anchored.
     flow2, metrics = ck_simple_step(
         mesh, ckg, zc, zs, zv, settings, rho, mu, ck_diff, flow,
-        comm=comm,
+        comm=comm, maybe_singular=False,
     )
     tb2, _ = turbulence_step(
         mesh, ckg, bc0, settings, rho, mu, flow2, tb, k_in, eps_in,

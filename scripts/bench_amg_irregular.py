@@ -125,7 +125,7 @@ def main():
             extras = dict(mg_hierarchy=h)
         run = _make_chunk_runner(
             mesh, settings, diff, n_iters, extras, ck=None, ck_diff=None
-        )
+        , maybe_singular=False)
         state = initial_state(mesh)
         state, m = run(state, zc, zs, zv, rho, mu)
         _ = np.asarray(state.p[:8])

@@ -102,7 +102,7 @@ def main():
     import os
 
     n_iters = int(os.environ.get("ORC_TPU_BENCH_ITERS", "50"))
-    run = _make_chunk_runner(mesh, settings, diff, n_iters, {}, ck=ck, ck_diff=ck_diff)
+    run = _make_chunk_runner(mesh, settings, diff, n_iters, {}, ck=ck, ck_diff=ck_diff, maybe_singular=False)
     state = initial_state(mesh)
     t0 = time.perf_counter()
     state, _ = run(state, zc, zs, zv, rho, mu)

@@ -128,7 +128,7 @@ def bench_case(name):
                   f"{[l.cdims for l in h]}", file=sys.stderr)
         run = _make_chunk_runner(
             mesh, settings, diff, n_iters, extras, ck=ck, ck_diff=ck_diff
-        )
+        , maybe_singular=False)
         state = initial_state(mesh)
         state, m = run(state, zc, zs, zv, rho, mu)
         _ = np.asarray(state.p[:8])

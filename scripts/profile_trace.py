@@ -63,7 +63,7 @@ def main():
         mesh, ck, ck_bc(ck, zc, zs, zv), jnp.asarray(mu, mesh.dtype)
     )
     run = _make_chunk_runner(
-        mesh, settings, diff, iters, {}, ck=ck, ck_diff=ck_diff
+        mesh, settings, diff, iters, {}, ck=ck, ck_diff=ck_diff, maybe_singular=False,
     )
     state = initial_state(mesh)
     state, _ = run(state, zc, zs, zv, rho, mu)

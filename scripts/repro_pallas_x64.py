@@ -69,7 +69,7 @@ cols = column_specs(mesh, table)
 assert cols is not None, "expected a pallas-eligible uniform box"
 spec = (cols, False)
 
-run = _make_chunk_runner(mesh, settings, None, 10, {}, ck=ck, ck_diff=ck_diff, pallas_asm=spec)
+run = _make_chunk_runner(mesh, settings, None, 10, {}, ck=ck, ck_diff=ck_diff, pallas_asm=spec, maybe_singular=False)
 # rho / mu as python floats exactly as solve_steady passes them (weak
 # f64 under x64 — the suspected crash trigger).
 exported = jax.export.export(
