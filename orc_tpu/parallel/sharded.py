@@ -293,7 +293,19 @@ def solve_steady_sharded(
     the face-major step."""
     from orc_tpu.parallel.partition import partition_mesh
     from orc_tpu.solver.simple import CK_AUTO_MAX_CELLS, initial_state
-    from orc_tpu.utils.settings import GradientReconstruction
+    from orc_tpu.utils.settings import (
+        GradientReconstruction,
+        PressureVelocityCoupling,
+    )
+
+    if (
+        settings.pressure_velocity_coupling
+        == PressureVelocityCoupling.SIMPLE_FC
+    ):
+        raise NotImplementedError(
+            "SIMPLE_FC is single-device face-major for now (solver/fc.py); "
+            "the sharded port is tracked in NOTES.md"
+        )
 
     table.validate_supported()
     devices = jax.devices()[: n_devices or len(jax.devices())]

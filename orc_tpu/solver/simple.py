@@ -94,6 +94,10 @@ class FlowState:
     # in-place-updated CSR matrices, initialized to 1.0 —
     # discretization.rs:450-472).
     mom_diag: jax.Array  # [C,3]
+    # Stored conservative face fluxes [F] (owner-outward normal
+    # velocity) — only under PressureVelocityCoupling.SIMPLE_FC
+    # (solver/fc.py); None on the stateless parity loop.
+    flux: "jax.Array | None" = None
 
 
 class StepMetrics(NamedTuple):
@@ -167,9 +171,46 @@ def table_maybe_singular(table) -> bool:
     return all(fz.zone_type in exempt for fz in table.zones.values())
 
 
+def table_has_pressure_bc(table) -> bool:
+    """True when any zone is a pressure inlet/outlet — the ONLY zones
+    that anchor the SIMPLE_FC pressure equation (solver/fc.py), whose
+    matrix takes nothing from prescribed-flux boundaries."""
+    from orc_tpu.mesh.zones import FaceCondition
+
+    return any(
+        fz.zone_type
+        in (FaceCondition.PRESSURE_INLET, FaceCondition.PRESSURE_OUTLET)
+        for fz in table.zones.values()
+    )
+
+
+def initial_flux(mesh, zone_codes, zone_scalar, zone_vector, settings, state):
+    """Seed FlowState.flux for a SIMPLE_FC run: the plain interpolated
+    flux of the initial fields (solver/fc.py corrects it conservatively
+    from the first iteration on)."""
+    fbc = face_bc(mesh, zone_codes, zone_scalar, zone_vector)
+    grad_p = (
+        pressure_gradient(
+            mesh, fbc, state.p, settings.gradient_reconstruction
+        )
+        if _needs_grad_p(settings)
+        else None
+    )
+    return face_flux(
+        mesh,
+        fbc,
+        state.vel,
+        settings.velocity_interpolation,
+        p=state.p,
+        grad_p=grad_p,
+        mom_diag=state.mom_diag,
+    )
+
+
 def _solve_p_prime(
     Pmat, b_p, p, settings, active, comm, solver_extras,
     maybe_singular: bool,
+    x0=None,
 ):
     """Solve the pressure-correction system, with the constant null
     mode DEFLATED when the system is singular.
@@ -206,7 +247,7 @@ def _solve_p_prime(
     p_prime, p_info = iterative_solve(
         Pmat,
         b_p,
-        jnp.zeros_like(p),
+        jnp.zeros_like(p) if x0 is None else x0,
         settings.matrix_solver,
         axis_sum=comm.axis_sum,
         refresh=comm.refresh,
@@ -587,13 +628,13 @@ CK_AUTO_MAX_CELLS = int(os.environ.get("ORC_TPU_CK_MAX_CELLS", "10000000"))
     jax.jit,
     static_argnames=(
         "settings", "n_steps", "n_colors", "use_ck", "pallas_asm",
-        "maybe_singular",
+        "maybe_singular", "use_fc",
     ),
 )
 def _run_scan(
     mesh, diff, ck, ck_diff, state, zc, zs, zv, rho, mu, colors,
     mg_hierarchy, *, settings, n_steps, n_colors, use_ck,
-    pallas_asm=None, maybe_singular=True,
+    pallas_asm=None, maybe_singular=True, use_fc=False,
 ):
     """Module-level jitted scan so repeated solve_steady calls on the
     same mesh/settings reuse the compiled executable (a per-call jit
@@ -605,6 +646,13 @@ def _run_scan(
         extras = dict(mg_hierarchy=mg_hierarchy)
 
     def step(s):
+        if use_fc:
+            from orc_tpu.solver.fc import simple_step_fc
+
+            return simple_step_fc(
+                mesh, zc, zs, zv, settings, rho, mu, diff, s, extras,
+                maybe_singular=maybe_singular,
+            )
         if use_ck:
             return ck_simple_step(
                 mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s, extras,
@@ -648,7 +696,7 @@ def _run_scan(
 
 def _make_chunk_runner(
     mesh, settings, diff, n_steps, solver_extras, ck=None, ck_diff=None,
-    pallas_asm=None, maybe_singular=True,
+    pallas_asm=None, maybe_singular=True, use_fc=False,
 ):
     """`lax.scan` runner over n_steps SIMPLE iterations.
 
@@ -689,6 +737,7 @@ def _make_chunk_runner(
             use_ck=ck is not None,
             pallas_asm=pallas_asm,
             maybe_singular=maybe_singular,
+            use_fc=use_fc,
         )
 
     return run
@@ -759,6 +808,23 @@ def solve_steady(
     if state is None:
         state = initial_state(mesh)
 
+    from orc_tpu.utils.settings import PressureVelocityCoupling
+
+    use_fc = (
+        settings.pressure_velocity_coupling
+        == PressureVelocityCoupling.SIMPLE_FC
+    )
+    if use_fc:
+        # Flux-corrected loop (solver/fc.py): face-major only; the
+        # stored flux must exist before the scan starts (fixed carry
+        # structure), and only pressure zones anchor its p-equation.
+        use_ck = False
+        if state.flux is None:
+            state = dataclasses.replace(
+                state,
+                flux=initial_flux(mesh, zc, zs, zv, settings, state),
+            )
+
     ck = ck_diff = None
     # The (c,k)-direct step computes Green-Gauss cell gradients only;
     # LSQ / node-based runs must take the face-major path.
@@ -812,7 +878,11 @@ def solve_steady(
         )
 
     pallas_asm = _pallas_asm_spec(mesh, table, settings, ck)
-    maybe_singular = table_maybe_singular(table)
+    maybe_singular = (
+        not table_has_pressure_bc(table)
+        if use_fc
+        else table_maybe_singular(table)
+    )
 
     if ck is not None and mesh.neighbor_offsets is not None:
         # Drop this frame's references to the big tables too so the
@@ -825,7 +895,7 @@ def solve_steady(
     run = _make_chunk_runner(
         mesh, settings, diff, reporting_interval, solver_extras,
         ck=ck, ck_diff=ck_diff, pallas_asm=pallas_asm,
-        maybe_singular=maybe_singular,
+        maybe_singular=maybe_singular, use_fc=use_fc,
     )
     history = []
     done = 0
@@ -836,7 +906,7 @@ def solve_steady(
             run = _make_chunk_runner(
                 mesh, settings, diff, n, solver_extras, ck=ck,
                 ck_diff=ck_diff, pallas_asm=pallas_asm,
-                maybe_singular=maybe_singular,
+                maybe_singular=maybe_singular, use_fc=use_fc,
             )
         state, metrics = run(state, zc, zs, zv, rho, mu)
         jax.block_until_ready(state)

@@ -54,6 +54,16 @@ def solve_transient(
     leading axis [n_steps] from each step's final inner iteration).
     """
     table.validate_supported()
+    from orc_tpu.utils.settings import PressureVelocityCoupling
+
+    if (
+        settings.pressure_velocity_coupling
+        == PressureVelocityCoupling.SIMPLE_FC
+    ):
+        raise NotImplementedError(
+            "SIMPLE_FC transient marching is tracked in NOTES.md; "
+            "use the default SIMPLE coupling for transient runs"
+        )
     from orc_tpu.solver.simple import table_maybe_singular
 
     maybe_singular = table_maybe_singular(table)

@@ -304,6 +304,16 @@ def solve_steady_turbulent(
     from orc_tpu.ops.fields import WALL, device_bc
 
     table.validate_supported()
+    from orc_tpu.utils.settings import PressureVelocityCoupling
+
+    if (
+        settings.pressure_velocity_coupling
+        == PressureVelocityCoupling.SIMPLE_FC
+    ):
+        raise NotImplementedError(
+            "SIMPLE_FC + RANS is tracked in NOTES.md; use the default "
+            "SIMPLE coupling for turbulent runs"
+        )
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     ckg = build_ck_geometry(mesh, len(table.zone_ids))
     bc0 = ck_bc(ckg, zc, zs, zv)
@@ -391,6 +401,16 @@ def solve_steady_turbulent_sharded(
     from orc_tpu.utils.settings import GradientReconstruction, SolutionMethod
 
     table.validate_supported()
+    from orc_tpu.utils.settings import PressureVelocityCoupling
+
+    if (
+        settings.pressure_velocity_coupling
+        == PressureVelocityCoupling.SIMPLE_FC
+    ):
+        raise NotImplementedError(
+            "SIMPLE_FC + RANS is tracked in NOTES.md; use the default "
+            "SIMPLE coupling for turbulent runs"
+        )
     if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
         raise NotImplementedError(
             "sharded RANS does not plumb the multigrid coarse-grid "

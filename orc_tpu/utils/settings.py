@@ -22,7 +22,24 @@ from typing import Callable, Optional
 
 
 class PressureVelocityCoupling(enum.Enum):
+    """Outer pressure-velocity coupling loop.
+
+    SIMPLE (reference parity, the default): stateless p'-increment
+    SIMPLE — fluxes re-interpolated from cell fields every iteration,
+    p' correction relaxed into p. Robust with the reference's tiny
+    pressure relaxation (its stability story is the spurious boundary
+    p'-diagonal — see assembly.pressure_correction_system).
+
+    SIMPLE_FC: flux-corrected SIMPLE (solver/fc.py) — face fluxes are
+    state, corrected conservatively through the pressure-equation
+    coefficients every iteration (div(flux) == solver residual by
+    construction), and the pressure equation solves the FULL p field.
+    Stable at pressure_relaxation ~0.3 (vs 0.01-0.1), immune to the
+    thin-z boundary-diagonal pathology. Face-major single-device path.
+    """
+
     SIMPLE = "simple"
+    SIMPLE_FC = "simple_fc"
 
 
 class RelaxationMode(enum.Enum):
