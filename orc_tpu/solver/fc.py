@@ -43,9 +43,10 @@ terms are OMITTED from this pressure equation (walls pass no mass;
 conservation is enforced through the stored flux, which needs no
 stabilizing fake diagonal).
 
-Scope: single-device, face-major path (the reference implementation).
-The ck-direct and shard_map ports follow the same structure and are
-tracked in NOTES.md.
+Scope: single-device, face-major (reference implementation) AND the
+gather-free (c,k)-direct fast path (ck_simple_step_fc; equivalence
+pinned to 1e-12 by tests/test_fc.py). shard_map / transient / RANS
+ports are tracked in NOTES.md and guarded with clear errors.
 """
 
 from __future__ import annotations
@@ -337,6 +338,320 @@ def simple_step_fc(
     )
     vel3, p_out, (p_corr_sq, vel_corr_sq) = apply_pressure_correction(
         mesh, fbc, s_corr, comm.refresh(dp), new_mom_diag, new_vel, p
+    )
+
+    n_active = comm.axis_sum(jnp.sum(active))
+    vel_avg = (
+        comm.axis_sum(jnp.sum(jnp.where(active[:, None], vel3, 0.0), axis=0))
+        / n_active
+    )
+    pe_avg = comm.axis_sum(jnp.sum(pe)) / (3.0 * n_active)
+    inf = jnp.asarray(jnp.inf, pe.dtype)
+    pe_min = comm.axis_min(jnp.min(jnp.where(active[:, None], pe, inf)))
+    pe_max = comm.axis_max(jnp.max(jnp.where(active[:, None], pe, -inf)))
+    p_corr_norm = jnp.sqrt(comm.axis_sum(p_corr_sq))
+    vel_corr_norm = jnp.sqrt(comm.axis_sum(vel_corr_sq))
+    diverged = (
+        jnp.any(jnp.isnan(vel_avg))
+        | jnp.any(info.diverged)
+        | p_info.diverged
+    )
+    diverged = comm.axis_max(diverged)
+    metrics = StepMetrics(
+        vel_avg=vel_avg,
+        peclet_avg=pe_avg,
+        peclet_min=pe_min,
+        peclet_max=pe_max,
+        p_corr_norm=p_corr_norm,
+        vel_corr_norm=vel_corr_norm,
+        mom_residual=info.residual,
+        pc_residual=p_info.residual,
+        diverged=diverged,
+        mom_iters=info.iterations,
+        pc_iters=p_info.iterations,
+    )
+    new_state = FlowState(
+        vel=vel3, p=p_out, mom_diag=new_mom_diag, flux=new_flux
+    )
+    return new_state, metrics
+
+
+# --- (c,k)-direct port (the gather-free fast path; see ops/ck_ops) ---
+
+
+def ck_flux_h(
+    mesh, ck, bc, vel, scheme,
+    p=None, grad_p=None, grad_p_nbr=None, mom_diag=None, mom_diag_nbr=None,
+    vel_nbr=None,
+):
+    """[C,K] flux predictor — ck_ops.ck_flux WITHOUT the Rhie-Chow
+    compact term2 (see face_flux_h). Antisymmetric per face by
+    construction: both sides evaluate commutative-symmetric expressions
+    against opposite stored normals, so the two (c,k) images of an
+    interior face are exact FP negations of each other."""
+    from orc_tpu.ops.ck_ops import nbr_values
+
+    v_c = vel[:, None, :]
+    v_n = (
+        vel_nbr if vel_nbr is not None
+        else nbr_values(mesh, vel, ck.interior)
+    )
+    if scheme in (
+        VelocityInterpolation.LINEAR,
+        VelocityInterpolation.LINEAR_WEIGHTED,
+    ):
+        from orc_tpu.ops.ck_ops import ck_flux
+
+        return ck_flux(mesh, ck, bc, vel, scheme, vel_nbr=vel_nbr)
+    if scheme != VelocityInterpolation.RHIE_CHOW:
+        raise NotImplementedError(f"SIMPLE_FC with {scheme}")
+    md_n = (
+        mom_diag_nbr if mom_diag_nbr is not None
+        else nbr_values(mesh, mom_diag, ck.interior)
+    )
+    a_c = jnp.sqrt(jnp.sum((mom_diag[:, None, :] * ck.n_out) ** 2, axis=-1))
+    a_n = jnp.sqrt(jnp.sum((md_n * ck.n_out) ** 2, axis=-1))
+    vol = mesh.cell_volume
+    voa_c = vol[:, None] / a_c
+    voa_n = nbr_values(mesh, vol, ck.interior) / a_n
+    gp_n = (
+        grad_p_nbr if grad_p_nbr is not None
+        else nbr_values(mesh, grad_p, ck.interior)
+    )
+    term1 = jnp.sum((v_c + v_n) * ck.n_out, axis=-1)
+    gsum = voa_c[..., None] * grad_p[:, None, :] + voa_n[..., None] * gp_n
+    term3 = jnp.sum(gsum * ck.r_on, axis=-1) / ck.dist_on
+    interior = 0.5 * (term1 + term3)
+    bnd = jnp.where(
+        bc.is_vel_inlet,
+        jnp.sum(bc.vector * ck.n_out, axis=-1),
+        jnp.sum(v_c * ck.n_out, axis=-1),  # pressure BCs
+    )
+    return jnp.where(
+        bc.is_wall_like,
+        0.0,
+        jnp.where(ck.interior, interior, jnp.where(ck.mask, bnd, 0.0)),
+    )
+
+
+def ck_d_coeffs(mesh, ck, bc, rho, mom_diag, mom_diag_nbr=None):
+    """[C,K] flux pressure-coupling coefficients (see _face_d_coeffs).
+    Symmetric across each interior face (voa_c + voa_n commutes), so
+    the corrected [C,K] flux stays exactly antisymmetric."""
+    from orc_tpu.ops.ck_ops import nbr_values
+
+    md_n = (
+        mom_diag_nbr if mom_diag_nbr is not None
+        else nbr_values(mesh, mom_diag, ck.interior)
+    )
+    a_c = jnp.sqrt(jnp.sum((mom_diag[:, None, :] * ck.n_out) ** 2, axis=-1))
+    a_n = jnp.sqrt(jnp.sum((md_n * ck.n_out) ** 2, axis=-1))
+    vol = mesh.cell_volume
+    voa_c = vol[:, None] / jnp.where(ck.mask, a_c, 1.0)
+    voa_n = nbr_values(mesh, vol, ck.interior) / jnp.where(ck.mask, a_n, 1.0)
+    d_int = 0.5 * rho * ck.area * (voa_c + voa_n) / ck.dist_on
+    d_bnd = rho * ck.area * voa_c / ck.dist_fo
+    return jnp.where(
+        ck.interior, d_int, jnp.where(bc.is_pressure, d_bnd, 0.0)
+    )
+
+
+def ck_fc_pressure_system(mesh, ck, bc, rho, flux_h, d_ck):
+    """[C,K] assembly of the full-p continuity system (see
+    fc_pressure_system)."""
+    b = jnp.sum(
+        jnp.where(ck.mask, -flux_h * ck.area * rho, 0.0), axis=1
+    )
+    b = b + jnp.sum(jnp.where(bc.is_pressure, d_ck * bc.scalar, 0.0), axis=1)
+    diag = jnp.sum(
+        jnp.where(ck.interior | bc.is_pressure, d_ck, 0.0), axis=1
+    )
+    active = ck.mask.any(axis=1)
+    diag = jnp.where(active, diag, 1.0)
+    b = jnp.where(active, b, 0.0)
+    off = jnp.where(ck.interior, -d_ck, 0.0)
+    return (
+        EllMatrix(
+            diag=diag,
+            off=off,
+            neighbors=mesh.cell_neighbors,
+            offsets=mesh.neighbor_offsets,
+            plan=mesh.slice_plan,
+        ),
+        b,
+    )
+
+
+def ck_correct_flux(mesh, ck, bc, flux_h, d_ck, rho, p_new, p_new_nbr):
+    """Conservative [C,K] flux update with the unrelaxed new p."""
+    delta = jnp.where(
+        ck.interior,
+        p_new[:, None] - p_new_nbr,
+        p_new[:, None] - bc.scalar,  # d_ck is 0 except at pressure faces
+    )
+    dv = d_ck / (rho * jnp.where(ck.mask, ck.area, 1.0))
+    return flux_h + jnp.where(ck.mask, dv * delta, 0.0)
+
+
+def ck_initial_flux(mesh, ck, bc, settings, state):
+    """Seed FlowState.flux ([C,K]) for a ck-path SIMPLE_FC run."""
+    from orc_tpu.ops.ck_ops import (
+        ck_flux,
+        ck_lsq_pressure_gradient,
+        ck_pressure_gradient,
+    )
+    from orc_tpu.solver.simple import _needs_grad_p
+    from orc_tpu.utils.settings import GradientReconstruction
+
+    grad_p = None
+    if _needs_grad_p(settings):
+        lsq = (
+            settings.gradient_reconstruction
+            == GradientReconstruction.LEAST_SQUARES
+        )
+        gp_fn = ck_lsq_pressure_gradient if lsq else ck_pressure_gradient
+        grad_p = gp_fn(mesh, ck, bc, state.p)
+    return ck_flux(
+        mesh, ck, bc, state.vel, settings.velocity_interpolation,
+        p=state.p, grad_p=grad_p, mom_diag=state.mom_diag,
+    )
+
+
+def ck_simple_step_fc(
+    mesh,
+    ck,
+    zone_codes,
+    zone_scalar,
+    zone_vector,
+    settings,
+    rho,
+    mu,
+    ck_diff,
+    state,
+    solver_extras=None,
+    inertia=None,
+    comm=None,
+    maybe_singular: bool = True,
+):
+    """Flux-corrected SIMPLE on the gather-free (c,k)-direct path
+    (face-major twin: simple_step_fc). `state.flux` is the [C,K]
+    outward normal velocity (exactly antisymmetric per interior face,
+    see ck_flux_h/ck_d_coeffs)."""
+    import jax
+
+    from orc_tpu.ops.ck_ops import (
+        ck_apply_correction,
+        ck_bc,
+        ck_face_pressure,
+        ck_lsq_pressure_gradient,
+        ck_lsq_velocity_gradient,
+        ck_momentum,
+        ck_pressure_gradient,
+        ck_velocity_gradient,
+        nbr_values,
+    )
+    from orc_tpu.solver.krylov import iterative_solve
+    from orc_tpu.solver.simple import (
+        FlowState,
+        NullComm,
+        StepMetrics,
+        _needs_grad_p,
+        _solve_p_prime,
+    )
+    from orc_tpu.utils.settings import GradientReconstruction
+
+    solver_extras = solver_extras or {}
+    comm = comm or NullComm()
+    bc = ck_bc(ck, zone_codes, zone_scalar, zone_vector)
+    diff_diag, diff_off, diff_b = ck_diff
+    vel = comm.refresh(state.vel)
+    p = comm.refresh(state.p)
+    mom_diag = comm.refresh(state.mom_diag)
+    flux = state.flux  # [C,K] conservative from the previous correction
+    active = ck.mask.any(axis=1)
+
+    vel_nbr = nbr_values(mesh, vel, ck.interior)
+    lsq = (
+        settings.gradient_reconstruction
+        == GradientReconstruction.LEAST_SQUARES
+    )
+    grad_p = grad_p_nbr = None
+    if _needs_grad_p(settings):
+        gp_fn = ck_lsq_pressure_gradient if lsq else ck_pressure_gradient
+        grad_p = comm.refresh(gp_fn(mesh, ck, bc, p))
+        grad_p_nbr = nbr_values(mesh, grad_p, ck.interior)
+    gv_fn = ck_lsq_velocity_gradient if lsq else ck_velocity_gradient
+    grad_v = (
+        comm.refresh(gv_fn(mesh, ck, bc, vel, vel_nbr=vel_nbr))
+        if settings.momentum
+        in (MomentumScheme.TVD, MomentumScheme.TVD_DC, MomentumScheme.CD2)
+        else None
+    )
+
+    F = flux * ck.area * rho
+    p_f = ck_face_pressure(
+        mesh, ck, bc, p, settings.pressure_interpolation,
+        grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+    )
+    A3, b3, pe = ck_momentum(
+        mesh, ck, bc, settings, rho, vel, F, p_f,
+        diff_diag, diff_off, diff_b, grad_vel=grad_v, vel_nbr=vel_nbr,
+        inertia=inertia,
+    )
+
+    def solve_one(diag, off, b, x0):
+        Ai = EllMatrix(
+            diag=diag, off=off, neighbors=A3.neighbors, offsets=A3.offsets,
+            plan=A3.plan,
+        )
+        return iterative_solve(
+            Ai,
+            b,
+            x0,
+            settings.momentum_matrix_solver(),
+            axis_sum=comm.axis_sum,
+            refresh=comm.refresh,
+            **solver_extras,
+        )
+
+    x0 = jnp.where(active[None, :], jnp.moveaxis(vel, -1, 0), 0.0)
+    if A3.diag.ndim == 1:
+        sol, info = jax.vmap(solve_one, in_axes=(None, None, 0, 0))(
+            A3.diag, A3.off, b3, x0
+        )
+        md = comm.refresh(A3.diag)
+        new_mom_diag = md[:, None] * jnp.ones((1, 3), md.dtype)
+    else:
+        sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
+        new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
+    new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
+
+    new_md_nbr = nbr_values(mesh, new_mom_diag, ck.interior)
+    new_vel_nbr = nbr_values(mesh, new_vel, ck.interior)
+    flux_h = ck_flux_h(
+        mesh, ck, bc, new_vel, settings.velocity_interpolation,
+        p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+        mom_diag=new_mom_diag, mom_diag_nbr=new_md_nbr,
+        vel_nbr=new_vel_nbr,
+    )
+    d_ck = ck_d_coeffs(mesh, ck, bc, rho, new_mom_diag, new_md_nbr)
+    Pmat, b_p = ck_fc_pressure_system(mesh, ck, bc, rho, flux_h, d_ck)
+    p_new, p_info = _solve_p_prime(
+        Pmat, b_p, p, settings, active, comm, solver_extras,
+        maybe_singular, x0=p,
+    )
+    p_new_nbr = nbr_values(mesh, p_new, ck.interior)
+    new_flux = ck_correct_flux(
+        mesh, ck, bc, flux_h, d_ck, rho, p_new, p_new_nbr
+    )
+
+    dp = (p_new - p) * settings.pressure_relaxation
+    s_corr = settings.replace(
+        pressure_relaxation=1.0,
+        pressure_correction_form=PressureCorrectionForm.FACE_VALUE,
+    )
+    vel3, p_out, (p_corr_sq, vel_corr_sq) = ck_apply_correction(
+        mesh, ck, bc, s_corr, comm.refresh(dp), new_mom_diag, new_vel, p
     )
 
     n_active = comm.axis_sum(jnp.sum(active))

@@ -647,6 +647,13 @@ def _run_scan(
 
     def step(s):
         if use_fc:
+            if use_ck:
+                from orc_tpu.solver.fc import ck_simple_step_fc
+
+                return ck_simple_step_fc(
+                    mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s,
+                    extras, maybe_singular=maybe_singular,
+                )
             from orc_tpu.solver.fc import simple_step_fc
 
             return simple_step_fc(
@@ -814,16 +821,10 @@ def solve_steady(
         settings.pressure_velocity_coupling
         == PressureVelocityCoupling.SIMPLE_FC
     )
-    if use_fc:
-        # Flux-corrected loop (solver/fc.py): face-major only; the
-        # stored flux must exist before the scan starts (fixed carry
-        # structure), and only pressure zones anchor its p-equation.
-        use_ck = False
-        if state.flux is None:
-            state = dataclasses.replace(
-                state,
-                flux=initial_flux(mesh, zc, zs, zv, settings, state),
-            )
+    if use_fc and settings.momentum_source is not None:
+        raise NotImplementedError(
+            "SIMPLE_FC with momentum_source is untested; use SIMPLE"
+        )
 
     ck = ck_diff = None
     # The (c,k)-direct step computes Green-Gauss cell gradients only;
@@ -877,7 +878,28 @@ def solve_steady(
             mg_hierarchy=build_mg_hierarchy(mesh, diff, settings)
         )
 
-    pallas_asm = _pallas_asm_spec(mesh, table, settings, ck)
+    if use_fc and state.flux is None:
+        # The stored flux must exist before the scan starts (fixed
+        # carry structure): [C,K] on the ck path, [F] face-major.
+        if ck is not None:
+            from orc_tpu.ops.ck_ops import ck_bc as _ckbc
+            from orc_tpu.solver.fc import ck_initial_flux
+
+            state = dataclasses.replace(
+                state,
+                flux=ck_initial_flux(
+                    mesh, ck, _ckbc(ck, zc, zs, zv), settings, state
+                ),
+            )
+        else:
+            state = dataclasses.replace(
+                state,
+                flux=initial_flux(mesh, zc, zs, zv, settings, state),
+            )
+
+    pallas_asm = None if use_fc else _pallas_asm_spec(
+        mesh, table, settings, ck
+    )
     maybe_singular = (
         not table_has_pressure_bc(table)
         if use_fc

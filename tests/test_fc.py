@@ -59,11 +59,18 @@ def _fc_settings(vi, pr=0.3, **kw):
 
 
 def _flux_divergence(mesh, flux):
-    """Per-cell divergence of a stored [F] owner-outward flux (numpy)."""
+    """Per-cell divergence of the stored flux (numpy): [F] owner-outward
+    on the face-major path, [C,K] outward-per-slot on the ck path."""
+    flux = np.asarray(flux)
+    if flux.ndim == 2:  # ck path: [C,K] outward normal velocity
+        area = np.asarray(mesh.face_area)[np.asarray(mesh.cell_faces)]
+        mask = np.asarray(mesh.cell_face_mask)
+        fa = np.where(mask, flux * area, 0.0)
+        return fa.sum(axis=1), np.abs(fa).max()
     own = np.asarray(mesh.face_owner)
     nbr = np.asarray(mesh.face_neighbor)
     interior = np.asarray(mesh.face_interior)
-    fa = np.asarray(flux) * np.asarray(mesh.face_area)
+    fa = flux * np.asarray(mesh.face_area)
     div = np.zeros(mesh.n_cells)
     np.add.at(div, own, fa)
     np.add.at(div, nbr[interior], -fa[interior])
@@ -183,3 +190,28 @@ def test_fc_flux_conservation_every_iteration():
     # must already be conservative (rel tolerance of the inner solve).
     assert np.abs(div).max() < 1e-3 * max(scale, 1e-30), (
         np.abs(div).max(), scale)
+
+
+def test_fc_ck_matches_face_major():
+    """The (c,k)-direct FC step (ck_simple_step_fc) is the same physics
+    as the face-major step: identical convergence trajectory and fields
+    to roundoff."""
+    mesh, table = cavity_case(n=12, lid_velocity=1.0)
+    s = _fc_settings(VelocityInterpolation.RHIE_CHOW)
+    out = {}
+    for uck in (False, True):
+        st, hist = solve_steady(
+            mesh, table, s, 1.0, 0.01, state=initial_state(mesh),
+            iterations=400, reporting_interval=400, verbose=False,
+            use_ck=uck,
+        )
+        assert not bool(np.any(np.asarray(hist[-1].diverged))), uck
+        out[uck] = (np.asarray(st.vel), np.asarray(st.p))
+    np.testing.assert_allclose(
+        out[False][0], out[True][0], rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        out[False][1] - out[False][1].mean(),
+        out[True][1] - out[True][1].mean(),
+        rtol=0, atol=1e-12,
+    )
