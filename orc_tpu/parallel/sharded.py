@@ -105,13 +105,41 @@ def gather_tree(partition: Partition, tree, n_cells: int):
 
 
 def scatter_state(partition: Partition, state: FlowState) -> FlowState:
-    """Global FlowState [C] -> stacked local [P, L] (host-side)."""
+    """Global FlowState [C] -> stacked local [P, L] (host-side). A
+    stored flux (face-indexed, not cell-indexed) is dropped; the
+    sharded FC runner re-seeds it per device from the fields."""
+    import dataclasses as _dc
+
+    if state.flux is not None:
+        state = _dc.replace(state, flux=None)
     return scatter_tree(partition, state)
 
 
 def gather_state(partition: Partition, local: FlowState, n_cells: int) -> FlowState:
-    """Stacked local [P, L] -> global FlowState [C] (host-side)."""
+    """Stacked local [P, L] -> global FlowState [C] (host-side).
+
+    The stored SIMPLE_FC flux is FACE-indexed per partition (no global
+    face numbering exists for the stacked locals) — it is dropped from
+    the gathered state; solve_steady re-seeds it from the fields when a
+    warm-started FC run needs one."""
+    import dataclasses as _dc
+
+    if local.flux is not None:
+        local = _dc.replace(local, flux=None)
     return gather_tree(partition, local, n_cells)
+
+
+def _refresh_state(comm, state):
+    """State with halo slots refreshed — the FC initial flux reads
+    neighbor values, so ghost slots must hold remote data first."""
+    import dataclasses as _dcf
+
+    return _dcf.replace(
+        state,
+        vel=comm.refresh(state.vel),
+        p=comm.refresh(state.p),
+        mom_diag=comm.refresh(state.mom_diag),
+    )
 
 
 def make_sharded_step(
@@ -123,6 +151,7 @@ def make_sharded_step(
     n_zones: int = 0,
     mg_hierarchy=None,
     maybe_singular: bool = True,
+    use_fc: bool = False,
 ):
     """Build the jitted shard_map'ed n-step SIMPLE runner.
 
@@ -184,21 +213,69 @@ def make_sharded_step(
             bc = ck_bc(ck, zc, zs, zv)
             ck_diff = ck_diffusion(lmesh, ck, bc, mu)
 
-            def body(s, _):
-                return ck_simple_step(
-                    lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s,
-                    extras, comm=comm, maybe_singular=maybe_singular,
+            if use_fc:
+                from orc_tpu.solver.fc import (
+                    ck_initial_flux,
+                    ck_simple_step_fc,
                 )
+
+                if state.flux is None:
+                    import dataclasses as _dcf
+
+                    state = _dcf.replace(
+                        state,
+                        flux=ck_initial_flux(
+                            lmesh, ck, bc, settings,
+                            _refresh_state(comm, state),
+                        ),
+                    )
+
+                def body(s, _):
+                    return ck_simple_step_fc(
+                        lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff,
+                        s, extras, comm=comm, maybe_singular=maybe_singular,
+                    )
+
+            else:
+
+                def body(s, _):
+                    return ck_simple_step(
+                        lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s,
+                        extras, comm=comm, maybe_singular=maybe_singular,
+                    )
 
         else:
             fbc = face_bc(lmesh, zc, zs, zv)
             diff = diffusion_system(lmesh, fbc, mu)
 
-            def body(s, _):
-                return simple_step(
-                    lmesh, zc, zs, zv, settings, rho, mu, diff, s,
-                    extras, comm=comm, maybe_singular=maybe_singular,
-                )
+            if use_fc:
+                from orc_tpu.solver.fc import simple_step_fc
+                from orc_tpu.solver.simple import initial_flux
+
+                if state.flux is None:
+                    import dataclasses as _dcf
+
+                    state = _dcf.replace(
+                        state,
+                        flux=initial_flux(
+                            lmesh, zc, zs, zv, settings,
+                            _refresh_state(comm, state),
+                        ),
+                    )
+
+                def body(s, _):
+                    return simple_step_fc(
+                        lmesh, zc, zs, zv, settings, rho, mu, diff, s,
+                        extras, comm=comm, maybe_singular=maybe_singular,
+                    )
+
+            else:
+
+                def body(s, _):
+                    return simple_step(
+                        lmesh, zc, zs, zv, settings, rho, mu, diff, s,
+                        extras, comm=comm, maybe_singular=maybe_singular,
+                    )
 
         # Kahan-compensated f32 state accumulation (same mechanism as
         # the single-device runner — see solver/simple._run_scan).
@@ -298,14 +375,10 @@ def solve_steady_sharded(
         PressureVelocityCoupling,
     )
 
-    if (
+    use_fc = (
         settings.pressure_velocity_coupling
         == PressureVelocityCoupling.SIMPLE_FC
-    ):
-        raise NotImplementedError(
-            "SIMPLE_FC is single-device face-major for now (solver/fc.py); "
-            "the sharded port is tracked in NOTES.md"
-        )
+    )
 
     table.validate_supported()
     devices = jax.devices()[: n_devices or len(jax.devices())]
@@ -366,13 +439,20 @@ def solve_steady_sharded(
                 settings.matrix_solver,
             )
 
-    from orc_tpu.solver.simple import table_maybe_singular
+    from orc_tpu.solver.simple import (
+        table_has_pressure_bc,
+        table_maybe_singular,
+    )
 
-    maybe_singular = table_maybe_singular(table)
+    maybe_singular = (
+        not table_has_pressure_bc(table)
+        if use_fc
+        else table_maybe_singular(table)
+    )
     run = make_sharded_step(
         partition, settings, device_mesh, n_steps=reporting_interval,
         use_ck=bool(use_ck), n_zones=len(table.zone_ids), mg_hierarchy=mg_h,
-        maybe_singular=maybe_singular,
+        maybe_singular=maybe_singular, use_fc=use_fc,
     )
     history = []
     done = 0
@@ -384,6 +464,7 @@ def solve_steady_sharded(
                 partition, settings, device_mesh, n_steps=k,
                 use_ck=bool(use_ck), n_zones=len(table.zone_ids),
                 mg_hierarchy=mg_h, maybe_singular=maybe_singular,
+                use_fc=use_fc,
             )
         local, metrics = run(local, zc, zs, zv, rho, mu)
         jax.block_until_ready(local)

@@ -43,10 +43,12 @@ terms are OMITTED from this pressure equation (walls pass no mass;
 conservation is enforced through the stored flux, which needs no
 stabilizing fake diagonal).
 
-Scope: single-device, face-major (reference implementation) AND the
-gather-free (c,k)-direct fast path (ck_simple_step_fc; equivalence
-pinned to 1e-12 by tests/test_fc.py). shard_map / transient / RANS
-ports are tracked in NOTES.md and guarded with clear errors.
+Scope: face-major (reference implementation), the gather-free
+(c,k)-direct fast path (ck_simple_step_fc; equivalence pinned to 1e-12
+by tests/test_fc.py), and shard_map (both local steps take the comm
+hooks; sharded == single-device pinned at 1e-8). Transient / RANS /
+fused-Pallas ports are tracked in NOTES.md and guarded with clear
+errors.
 """
 
 from __future__ import annotations

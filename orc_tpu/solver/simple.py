@@ -244,10 +244,19 @@ def _solve_p_prime(
         # pays zero extra reductions.
         project = _no_project
         extra = {}
+    # Warm starts must be zero at halo/padded slots: the distributed
+    # Krylov contract keeps iterates identically zero outside owned
+    # cells (halo rows are identity with b = 0), and a nonzero x0
+    # there would bleed into every psum'ed dot product.
+    x0 = (
+        jnp.zeros_like(p)
+        if x0 is None
+        else jnp.where(active, x0, 0.0)
+    )
     p_prime, p_info = iterative_solve(
         Pmat,
         b_p,
-        jnp.zeros_like(p) if x0 is None else x0,
+        x0,
         settings.matrix_solver,
         axis_sum=comm.axis_sum,
         refresh=comm.refresh,

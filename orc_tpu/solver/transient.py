@@ -56,17 +56,20 @@ def solve_transient(
     table.validate_supported()
     from orc_tpu.utils.settings import PressureVelocityCoupling
 
-    if (
+    use_fc = (
         settings.pressure_velocity_coupling
         == PressureVelocityCoupling.SIMPLE_FC
-    ):
-        raise NotImplementedError(
-            "SIMPLE_FC transient marching is tracked in NOTES.md; "
-            "use the default SIMPLE coupling for transient runs"
-        )
-    from orc_tpu.solver.simple import table_maybe_singular
+    )
+    from orc_tpu.solver.simple import (
+        table_has_pressure_bc,
+        table_maybe_singular,
+    )
 
-    maybe_singular = table_maybe_singular(table)
+    maybe_singular = (
+        not table_has_pressure_bc(table)
+        if use_fc
+        else table_maybe_singular(table)
+    )
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     if state is None:
         state = initial_state(mesh)
@@ -99,6 +102,29 @@ def solve_transient(
             mg_hierarchy=build_mg_hierarchy(mesh, diff, settings)
         )
 
+    if use_fc and state.flux is None:
+        # SIMPLE_FC: the stored conservative flux must exist before the
+        # scan starts (fixed carry structure) — see solver/fc.py.
+        import dataclasses as _dc
+
+        if ck is not None:
+            from orc_tpu.ops.ck_ops import ck_bc as _ckbc
+            from orc_tpu.solver.fc import ck_initial_flux
+
+            state = _dc.replace(
+                state,
+                flux=ck_initial_flux(
+                    mesh, ck, _ckbc(ck, zc, zs, zv), settings, state
+                ),
+            )
+        else:
+            from orc_tpu.solver.simple import initial_flux
+
+            state = _dc.replace(
+                state,
+                flux=initial_flux(mesh, zc, zs, zv, settings, state),
+            )
+
     @jax.jit
     def run(state0, zc, zs, zv):
         def time_step(carry, _):
@@ -107,6 +133,22 @@ def solve_transient(
             inertia = (rv_dt, vel_n)
 
             def inner(si, _):
+                if use_fc:
+                    if ck is not None:
+                        from orc_tpu.solver.fc import ck_simple_step_fc
+
+                        return ck_simple_step_fc(
+                            mesh, ck, zc, zs, zv, settings, rho, mu,
+                            ck_diff, si, solver_extras, inertia=inertia,
+                            maybe_singular=maybe_singular,
+                        )
+                    from orc_tpu.solver.fc import simple_step_fc
+
+                    return simple_step_fc(
+                        mesh, zc, zs, zv, settings, rho, mu, diff, si,
+                        solver_extras, inertia=inertia,
+                        maybe_singular=maybe_singular,
+                    )
                 if ck is not None:
                     return ck_simple_step(
                         mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff,

@@ -215,3 +215,86 @@ def test_fc_ck_matches_face_major():
         out[True][1] - out[True][1].mean(),
         rtol=0, atol=1e-12,
     )
+
+
+def test_fc_sharded_matches_single_device():
+    """SIMPLE_FC under shard_map (both the face-major and ck-direct
+    local steps): all reductions/refreshes ride the comm hooks, so the
+    sharded trajectory must reproduce the single-device one."""
+    from orc_tpu.parallel.sharded import solve_steady_sharded
+
+    mesh, table = structured_box_mesh(8, 8, 1, lengths=(0.002, 0.001, 0.0001))
+    table.set("TOP_WALL", FaceCondition.WALL, vector_value=(5e-4, 0, 0))
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set("INLET", FaceCondition.PRESSURE_INLET, scalar_value=0.01)
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    s = _fc_settings(VelocityInterpolation.RHIE_CHOW)
+    ref_state, _ = solve_steady(
+        mesh, table, s, 1000.0, 0.001, state=initial_state(mesh),
+        iterations=30, reporting_interval=30, verbose=False, use_ck=False,
+    )
+    for uck in (False, "auto"):
+        sh_state, _ = solve_steady_sharded(
+            mesh, table, s, 1000.0, 0.001, state=initial_state(mesh),
+            iterations=30, reporting_interval=30, verbose=False,
+            n_devices=4, use_ck=uck,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_state.vel), np.asarray(ref_state.vel),
+            rtol=1e-8, atol=1e-14, err_msg=str(uck),
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh_state.p), np.asarray(ref_state.p),
+            rtol=1e-8, atol=1e-12, err_msg=str(uck),
+        )
+
+
+def test_fc_transient_taylor_green():
+    """SIMPLE_FC transient marching on the exact Taylor-Green decay —
+    the fully periodic box exercises the deflated full-p solve inside
+    implicit-Euler time steps. Same tolerances as the parity-loop TG
+    test (tests/test_transient.py)."""
+    import dataclasses
+
+    from orc_tpu.solver.transient import solve_transient
+
+    N = 32
+    rho, mu = 1.0, 0.02
+    nu = mu / rho
+    mesh, table = structured_box_mesh(
+        N, N, 1, lengths=(2 * np.pi, 2 * np.pi, 1.0),
+        periodic=("x", "y"), dtype=jnp.float64,
+    )
+    cc = np.asarray(mesh.cell_centroid)
+    x, y = cc[:, 0], cc[:, 1]
+    u0 = np.sin(x) * np.cos(y)
+    v0 = -np.cos(x) * np.sin(y)
+    p0 = rho / 4.0 * (np.cos(2 * x) + np.cos(2 * y))
+    st = initial_state(mesh)
+    st = dataclasses.replace(
+        st,
+        vel=jnp.asarray(np.stack([u0, v0, np.zeros_like(u0)], -1)),
+        p=jnp.asarray(p0),
+    )
+    s = NumericalSettings(
+        momentum=MomentumScheme.CD1,
+        pressure_velocity_coupling=PressureVelocityCoupling.SIMPLE_FC,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        pressure_relaxation=0.3,
+        momentum_relaxation=0.7,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+        matrix_solver=SOLVER,
+    )
+    dt, nsteps = 0.05, 20  # t = 1.0
+    st, _ = solve_transient(
+        mesh, table, s, rho, mu, dt, nsteps,
+        inner_iterations=10, state=st, verbose=False,
+    )
+    decay = np.exp(-2 * nu * dt * nsteps)
+    u = np.asarray(st.vel[:, 0])
+    v = np.asarray(st.vel[:, 1])
+    err = max(np.abs(u - u0 * decay).max(), np.abs(v - v0 * decay).max())
+    assert err < 5e-3, f"max pointwise error {err:.2e} vs exact decay"
