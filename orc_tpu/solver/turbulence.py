@@ -269,11 +269,28 @@ def rans_outer_step(
     )
     ck_diff = ck_diffusion(mesh, ckg, bc0, gamma)
     # RANS runs always have wall zones (the wall-function machinery
-    # requires them), so the p' system is statically anchored.
-    flow2, metrics = ck_simple_step(
-        mesh, ckg, zc, zs, zv, settings, rho, mu, ck_diff, flow,
-        comm=comm, maybe_singular=False,
-    )
+    # requires them), so the parity p' system is statically anchored;
+    # the FC full-p system anchors only through pressure zones —
+    # body-force channels have none, so FC solves deflated
+    # (maybe_singular=True is always safe; it is exact for anchored
+    # systems too and the RANS loop is not the perf-critical path).
+    from orc_tpu.utils.settings import PressureVelocityCoupling
+
+    if (
+        settings.pressure_velocity_coupling
+        == PressureVelocityCoupling.SIMPLE_FC
+    ):
+        from orc_tpu.solver.fc import ck_simple_step_fc
+
+        flow2, metrics = ck_simple_step_fc(
+            mesh, ckg, zc, zs, zv, settings, rho, mu, ck_diff, flow,
+            comm=comm, maybe_singular=True,
+        )
+    else:
+        flow2, metrics = ck_simple_step(
+            mesh, ckg, zc, zs, zv, settings, rho, mu, ck_diff, flow,
+            comm=comm, maybe_singular=False,
+        )
     tb2, _ = turbulence_step(
         mesh, ckg, bc0, settings, rho, mu, flow2, tb, k_in, eps_in,
         comm=comm,
@@ -304,21 +321,25 @@ def solve_steady_turbulent(
     from orc_tpu.ops.fields import WALL, device_bc
 
     table.validate_supported()
-    from orc_tpu.utils.settings import PressureVelocityCoupling
-
-    if (
-        settings.pressure_velocity_coupling
-        == PressureVelocityCoupling.SIMPLE_FC
-    ):
-        raise NotImplementedError(
-            "SIMPLE_FC + RANS is tracked in NOTES.md; use the default "
-            "SIMPLE coupling for turbulent runs"
-        )
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     ckg = build_ck_geometry(mesh, len(table.zone_ids))
     bc0 = ck_bc(ckg, zc, zs, zv)
     if state is None:
         state = initial_state(mesh)
+    from orc_tpu.utils.settings import PressureVelocityCoupling
+
+    if (
+        settings.pressure_velocity_coupling
+        == PressureVelocityCoupling.SIMPLE_FC
+        and state.flux is None
+    ):
+        import dataclasses as _dc
+
+        from orc_tpu.solver.fc import ck_initial_flux
+
+        state = _dc.replace(
+            state, flux=ck_initial_flux(mesh, ckg, bc0, settings, state)
+        )
     if turb is None:
         turb = initial_turbulence(mesh, u_ref, intensity, length_scale, rho)
     k_in = 1.5 * (intensity * abs(u_ref)) ** 2
@@ -401,16 +422,6 @@ def solve_steady_turbulent_sharded(
     from orc_tpu.utils.settings import GradientReconstruction, SolutionMethod
 
     table.validate_supported()
-    from orc_tpu.utils.settings import PressureVelocityCoupling
-
-    if (
-        settings.pressure_velocity_coupling
-        == PressureVelocityCoupling.SIMPLE_FC
-    ):
-        raise NotImplementedError(
-            "SIMPLE_FC + RANS is tracked in NOTES.md; use the default "
-            "SIMPLE coupling for turbulent runs"
-        )
     if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
         raise NotImplementedError(
             "sharded RANS does not plumb the multigrid coarse-grid "
@@ -435,6 +446,16 @@ def solve_steady_turbulent_sharded(
             "per-device partition exceeds the ck geometry ceiling "
             f"({lm.cell_volume.shape[1]} > {CK_AUTO_MAX_CELLS}); use "
             "more devices"
+        )
+    from orc_tpu.utils.settings import PressureVelocityCoupling
+
+    if (
+        settings.pressure_velocity_coupling
+        == PressureVelocityCoupling.SIMPLE_FC
+    ):
+        raise NotImplementedError(
+            "sharded RANS + SIMPLE_FC is a follow-up (per-device flux "
+            "seeding inside shard_map); single-device RANS supports FC"
         )
     n_zones = len(table.zone_ids)
     stacked_ck = jax.vmap(lambda m: build_ck_geometry(m, n_zones))(lm)

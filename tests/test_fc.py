@@ -298,3 +298,53 @@ def test_fc_transient_taylor_green():
     v = np.asarray(st.vel[:, 1])
     err = max(np.abs(u - u0 * decay).max(), np.abs(v - v0 * decay).max())
     assert err < 5e-3, f"max pointwise error {err:.2e} vs exact decay"
+
+
+def test_fc_rans_channel_smoke():
+    """SIMPLE_FC + k-epsilon: the body-force Re_tau=590 channel rig
+    (tests/test_turbulence.py) runs under the FC coupling with finite,
+    physical fields. Quantitative DNS bands stay pinned by the parity
+    test; this pins that the RANS outer loop composes with FC."""
+    from orc_tpu.solver.turbulence import solve_steady_turbulent
+
+    H = 2.0
+    rho, mu = 1.0, 1.0 / 10975.0
+    u_tau = 590.0 * mu / rho / (H / 2)
+    G = rho * u_tau**2 / (H / 2)
+    mesh, table = structured_box_mesh(
+        4, 16, 1, lengths=(0.4, H, 0.1), periodic=("x",),
+    )
+    table.set("TOP_WALL", FaceCondition.WALL)
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+
+    def source(cc, vol):
+        s = jnp.zeros_like(cc)
+        return s.at[:, 0].set(G * vol)
+
+    s = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_velocity_coupling=PressureVelocityCoupling.SIMPLE_FC,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+        momentum_relaxation=0.6,
+        pressure_relaxation=0.3,
+        matrix_solver=SOLVER,
+        momentum_source=source,
+    )
+    flow, turb, hist = solve_steady_turbulent(
+        mesh, table, s, rho, mu, u_ref=18.0,
+        iterations=1000, reporting_interval=1000,
+        intensity=0.05, length_scale=0.2 * H, verbose=False,
+    )
+    u = np.asarray(flow.vel[:, 0])
+    k = np.asarray(turb.k)
+    assert np.isfinite(u).all() and np.isfinite(k).all()
+    assert not bool(np.any(np.asarray(hist[-1].diverged)))
+    # Spinning up toward the DNS bulk U_b+ ~ 17.5 (measured: 11.7 at
+    # 1000 iterations, 15.6 at 2000 — the ramp is the body-force
+    # channel's physical development, not the coupling).
+    ub_plus = u.mean() / u_tau
+    assert 8.0 < ub_plus < 25.0, ub_plus
