@@ -158,7 +158,7 @@ def ck_scalar_system(
 def turbulence_step(
     mesh, ck: CKGeometry, bc: CKBC, settings: NumericalSettings,
     rho, mu, flow: FlowState, turb: TurbState,
-    k_in, eps_in, relax=0.7, comm=None,
+    k_in, eps_in, relax=0.7, comm=None, solver_extras=None,
 ):
     """One k/eps update given the current flow field. Runs unchanged
     under `shard_map` (like ck_simple_step): `comm.refresh` fills
@@ -169,6 +169,7 @@ def turbulence_step(
     from orc_tpu.utils.settings import VelocityInterpolation
 
     comm = comm or NullComm()
+    solver_extras = solver_extras or {}
     vel = comm.refresh(flow.vel)
     vel_nbr = nbr_values(mesh, vel, ck.interior)
     grad_v = ck_velocity_gradient(mesh, ck, bc, vel, vel_nbr=vel_nbr)
@@ -215,7 +216,7 @@ def turbulence_step(
     k_sol, _ = iterative_solve(
         A_k, b_k, jnp.where(active, k, 0.0),
         settings.momentum_matrix_solver(),
-        axis_sum=comm.axis_sum, refresh=comm.refresh,
+        axis_sum=comm.axis_sum, refresh=comm.refresh, **solver_extras,
     )
     k_new = jnp.maximum(k + relax * (k_sol - k), 1e-30)
 
@@ -239,7 +240,7 @@ def turbulence_step(
     e_sol, _ = iterative_solve(
         A_e, b_e, jnp.where(active, eps, 0.0),
         settings.momentum_matrix_solver(),
-        axis_sum=comm.axis_sum, refresh=comm.refresh,
+        axis_sum=comm.axis_sum, refresh=comm.refresh, **solver_extras,
     )
     eps_new = jnp.maximum(eps + relax * (e_sol - eps), 1e-30)
 
@@ -251,6 +252,7 @@ def turbulence_step(
 def rans_outer_step(
     mesh, ckg, bc0, zc, zs, zv, settings, rho, mu,
     k_in, eps_in, has_wall, y_p, is_wall_face, carry, comm=None,
+    solver_extras=None,
 ):
     """One RANS outer iteration: SIMPLE step with mu_eff = mu + mu_t
     (log-law wall viscosity on wall faces), then one k/eps update.
@@ -284,16 +286,16 @@ def rans_outer_step(
 
         flow2, metrics = ck_simple_step_fc(
             mesh, ckg, zc, zs, zv, settings, rho, mu, ck_diff, flow,
-            comm=comm, maybe_singular=True,
+            solver_extras, comm=comm, maybe_singular=True,
         )
     else:
         flow2, metrics = ck_simple_step(
             mesh, ckg, zc, zs, zv, settings, rho, mu, ck_diff, flow,
-            comm=comm, maybe_singular=False,
+            solver_extras, comm=comm, maybe_singular=False,
         )
     tb2, _ = turbulence_step(
         mesh, ckg, bc0, settings, rho, mu, flow2, tb, k_in, eps_in,
-        comm=comm,
+        comm=comm, solver_extras=solver_extras,
     )
     return (flow2, tb2), metrics
 
@@ -347,10 +349,43 @@ def solve_steady_turbulent(
     has_wall, y_p = _wall_adjacent(ckg, bc0)
     is_wall_face = (bc0.code == WALL) & ckg.mask & ~ckg.interior
 
+    # Solver machinery the step can't build under jit (mirrors
+    # solve_steady): the multigrid hierarchy / Gauss-Seidel coloring.
+    # The AMG fallback needs the face-major diffusion system only for
+    # its aggregation STRUCTURE — the laminar-mu coupling is fine even
+    # though the RANS gamma varies per iteration (Galerkin values are
+    # recomputed from the actual matrix every solve).
+    from orc_tpu.utils.settings import SolutionMethod
+
+    solver_extras = {}
+    if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
+        from orc_tpu.solver.gmg import build_mg_hierarchy
+
+        diff = None
+        from orc_tpu.solver.gmg import infer_box_dims
+
+        if mesh.neighbor_offsets is None or (
+            infer_box_dims(mesh.neighbor_offsets, mesh.n_cells) is None
+        ):
+            from orc_tpu.ops.assembly import diffusion_system
+            from orc_tpu.ops.fields import face_bc
+
+            fbc = face_bc(mesh, zc, zs, zv)
+            diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
+        solver_extras = dict(
+            mg_hierarchy=build_mg_hierarchy(mesh, diff, settings)
+        )
+    elif settings.matrix_solver.solver_type == SolutionMethod.GAUSS_SEIDEL:
+        from orc_tpu.solver.coloring import greedy_coloring
+
+        colors, n_colors = greedy_coloring(mesh)
+        solver_extras = dict(colors=colors, n_colors=n_colors)
+
     def step(carry, _):
         return rans_outer_step(
             mesh, ckg, bc0, zc, zs, zv, settings, rho, mu,
             k_in, eps_in, has_wall, y_p, is_wall_face, carry,
+            solver_extras=solver_extras,
         )
 
     run = jax.jit(
@@ -449,20 +484,21 @@ def solve_steady_turbulent_sharded(
         )
     from orc_tpu.utils.settings import PressureVelocityCoupling
 
-    if (
+    use_fc = (
         settings.pressure_velocity_coupling
         == PressureVelocityCoupling.SIMPLE_FC
-    ):
-        raise NotImplementedError(
-            "sharded RANS + SIMPLE_FC is a follow-up (per-device flux "
-            "seeding inside shard_map); single-device RANS supports FC"
-        )
+    )
     n_zones = len(table.zone_ids)
     stacked_ck = jax.vmap(lambda m: build_ck_geometry(m, n_zones))(lm)
 
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     if state is None:
         state = initial_state(mesh)
+    if state.flux is not None:
+        # Per-device [C,K] fluxes are re-seeded inside shard_map (like
+        # the laminar sharded FC runner, parallel/sharded.py) — the
+        # global flux's halo rows would be stale after scattering.
+        state = dataclasses.replace(state, flux=None)
     if turb is None:
         turb = initial_turbulence(mesh, u_ref, intensity, length_scale, rho)
     k_in = 1.5 * (intensity * abs(u_ref)) ** 2
@@ -481,6 +517,18 @@ def solve_steady_turbulent_sharded(
             bc0 = ck_bc(ck, zc, zs, zv)
             has_wall, y_p = _wall_adjacent(ck, bc0)
             is_wall_face = (bc0.code == WALL) & ck.mask & ~ck.interior
+            if use_fc and carry[0].flux is None:
+                from orc_tpu.parallel.sharded import _refresh_state
+                from orc_tpu.solver.fc import ck_initial_flux
+
+                seeded = dataclasses.replace(
+                    carry[0],
+                    flux=ck_initial_flux(
+                        lmesh, ck, bc0, settings,
+                        _refresh_state(comm, carry[0]),
+                    ),
+                )
+                carry = (seeded, carry[1])
 
             def body(c, _):
                 return rans_outer_step(

@@ -376,6 +376,17 @@ class NumericalSettings:
         outer loop drives global convergence)."""
         ms = self.matrix_solver
         if self.relaxation_mode != RelaxationMode.IMPLICIT:
+            if ms.solver_type == SolutionMethod.MULTIGRID:
+                # MULTIGRID is for the elliptic pressure system only:
+                # on the advection-dominated nonsymmetric transport
+                # matrices the Galerkin coarse correction AMPLIFIES
+                # (measured: a high-Pe RANS channel under explicit
+                # relaxation blows up by outer iteration ~6, u_avg
+                # 1e39). Transport solves fall back to the hierarchy's
+                # own Krylov smoother.
+                ms = dataclasses.replace(
+                    ms, solver_type=ms.multigrid_smoother
+                )
             if ms.momentum_relative_threshold is None:
                 return ms
             return dataclasses.replace(

@@ -224,3 +224,108 @@ def test_sharded_turbulent_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(tb4.mu_t), np.asarray(tb1.mu_t), rtol=5e-2, atol=1e-10
     )
+
+
+def test_turbulent_channel_multigrid():
+    """RANS + MULTIGRID: the geometric hierarchy is built once and
+    plumbed through the outer step (previously this raised 'Multigrid
+    needs a host-built hierarchy' from the p-solve). Same channel as
+    test_turbulent_channel_develops; same physics bars."""
+    mesh, table = channel()
+    rho, mu = 1.0, 1e-5
+    s = SETTINGS.replace(
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.MULTIGRID,
+            iterations=30,
+            multigrid_levels=3,
+            multigrid_smoother_iterations=4,
+            preconditioner=PreconditionMethod.JACOBI,
+        )
+    )
+    flow, turb, history = solve_steady_turbulent(
+        mesh, table, s, rho, mu, u_ref=1.0,
+        iterations=200, reporting_interval=200,
+        intensity=0.05, length_scale=0.14, verbose=False,
+    )
+    vel = np.asarray(flow.vel)
+    k = np.asarray(turb.k)
+    assert np.isfinite(vel).all() and np.isfinite(k).all()
+    assert (k > 0).all()
+    u_mean = vel[:, 0].mean()
+    assert abs(u_mean - 1.0) < 0.15, u_mean
+
+
+def test_sharded_turbulent_fc_matches_single_device():
+    """Sharded RANS under the SIMPLE_FC coupling: per-device [C,K]
+    fluxes are seeded inside shard_map and the outer step reproduces
+    the single-device trajectory (the FC p-solve runs deflated — the
+    body-force channel has no pressure zones)."""
+    from orc_tpu.solver.turbulence import solve_steady_turbulent_sharded
+    from orc_tpu.utils.settings import (
+        PressureVelocityCoupling,
+        RelaxationMode,
+    )
+
+    RE_TAU, H = 590.0, 2.0
+    rho, u_tau = 1.0, 1.0
+    mu = rho * u_tau * (H / 2) / RE_TAU
+    G = rho * u_tau**2 / (H / 2)
+    mesh, table = structured_box_mesh(
+        4, 16, 1, lengths=(4.0, H, 0.2), periodic=("x",)
+    )
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set("TOP_WALL", FaceCondition.WALL)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    vol = float(np.asarray(mesh.cell_volume)[0])
+
+    def source(cc):
+        s = jnp.zeros_like(cc)
+        return s.at[:, 0].set(G * vol)
+
+    settings = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_velocity_coupling=PressureVelocityCoupling.SIMPLE_FC,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+        relaxation_mode=RelaxationMode.IMPLICIT,
+        momentum_relaxation=0.6,
+        pressure_relaxation=0.3,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB, iterations=30
+        ),
+        momentum_source=source,
+    )
+    # Single-step semantic equivalence (tight), then a longer run for
+    # trajectory agreement through the flux state.
+    kw1 = dict(
+        u_ref=18.0, iterations=1, reporting_interval=1,
+        intensity=0.05, length_scale=0.2 * H, verbose=False,
+    )
+    f1, t1, _ = solve_steady_turbulent(mesh, table, settings, rho, mu, **kw1)
+    f4, t4, _ = solve_steady_turbulent_sharded(
+        mesh, table, settings, rho, mu, n_devices=4, **kw1
+    )
+    np.testing.assert_allclose(
+        np.asarray(f4.vel), np.asarray(f1.vel), rtol=1e-9, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(t4.k), np.asarray(t1.k), rtol=1e-9, atol=1e-12
+    )
+    kw = dict(
+        u_ref=18.0, iterations=300, reporting_interval=300,
+        intensity=0.05, length_scale=0.2 * H, verbose=False,
+    )
+    flow1, tb1, _ = solve_steady_turbulent(
+        mesh, table, settings, rho, mu, **kw
+    )
+    flow4, tb4, _ = solve_steady_turbulent_sharded(
+        mesh, table, settings, rho, mu, n_devices=4, **kw
+    )
+    u1 = np.asarray(flow1.vel)[:, 0]
+    u4 = np.asarray(flow4.vel)[:, 0]
+    assert abs(u4.mean() - u1.mean()) < 5e-3 * abs(u1.mean())
+    np.testing.assert_allclose(u4, u1, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(tb4.mu_t), np.asarray(tb1.mu_t), rtol=5e-2, atol=1e-10
+    )
