@@ -88,11 +88,22 @@ def _shifted(xb, hr, br, d):
 
 
 def _momentum_kernel(
-    cols, hr, br,
+    cols, hr, br, fc,
     params_ref, bc_ref, flags_ref,
     u_hbm, v_hbm, w_hbm, p_hbm,
-    diag_ref, off_ref, bu_ref, bv_ref, bw_ref,
+    *refs,
 ):
+    """Shared body for the parity and SIMPLE_FC momentum assemblies.
+
+    `fc` (static): advect with the STORED [C,K] flux (an extra blocked
+    VMEM input) instead of re-interpolating face velocities — the only
+    difference between the two couplings' momentum systems
+    (solver/fc.py: ck_momentum is called with F = state.flux * A * rho).
+    """
+    if fc:
+        flux_ref, diag_ref, off_ref, bu_ref, bv_ref, bw_ref = refs
+    else:
+        diag_ref, off_ref, bu_ref, bv_ref, bw_ref = refs
     r = pl.program_id(0)
     start = pl.multiple_of(r * jnp.int32(br), br)
     W = br + 2 * hr + 1
@@ -129,23 +140,33 @@ def _momentum_kernel(
             fint = jnp.where(interior, one, zero)
             nxk, nyk, nzk = col.n_out
             if col.offset != 0:
-                u_n = _shifted(ub, hr, br, col.offset)
-                v_n = _shifted(vb, hr, br, col.offset)
-                w_n = _shifted(wb, hr, br, col.offset)
                 p_n = _shifted(pb, hr, br, col.offset)
+                if not fc:
+                    u_n = _shifted(ub, hr, br, col.offset)
+                    v_n = _shifted(vb, hr, br, col.offset)
+                    w_n = _shifted(wb, hr, br, col.offset)
             else:
                 u_n, v_n, w_n, p_n = u_c, v_c, w_c, p_c
-            # Face flux (LinearWeighted == Linear on a uniform box):
-            # interior 0.5 (v_c + v_n) . n; boundary per column kind.
-            vn_int = 0.5 * (
-                (u_c + u_n) * nxk + (v_c + v_n) * nyk + (w_c + w_n) * nzk
-            )
-            if col.kind == "pressure":
-                vn_bnd = u_c * nxk + v_c * nyk + w_c * nzk
-            else:  # wall / symmetry: no flux through the face
-                vn_bnd = zero
-            flux = jnp.where(interior, vn_int, vn_bnd)
-            F = flux * (col.area * rho)
+            if fc:
+                # SIMPLE_FC: the conservative stored flux IS the face
+                # flux (corrected through the p-matrix coefficients at
+                # the end of the previous iteration).
+                F = flux_ref[k] * (col.area * rho)
+            else:
+                # Face flux (LinearWeighted == Linear on a uniform
+                # box): interior 0.5 (v_c + v_n) . n; boundary per
+                # column kind.
+                vn_int = 0.5 * (
+                    (u_c + u_n) * nxk
+                    + (v_c + v_n) * nyk
+                    + (w_c + w_n) * nzk
+                )
+                if col.kind == "pressure":
+                    vn_bnd = u_c * nxk + v_c * nyk + w_c * nzk
+                else:  # wall / symmetry: no flux through the face
+                    vn_bnd = zero
+                flux = jnp.where(interior, vn_int, vn_bnd)
+                F = flux * (col.area * rho)
             # UD advection + diffusion.
             a_nb = jnp.minimum(F, 0.0)
             d_int = mu * col.area / col.dist_on
@@ -223,6 +244,32 @@ def momentum_assembly(
     stacks the traced zone tables (vx, vy, vz, pressure); rho / mu /
     alpha are traced scalars.
     """
+    return _momentum_asm(
+        vel, p, None, bc_values, flags, cols, rho, mu, alpha, interpret
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cols", "interpret"),
+)
+def fc_momentum_assembly(
+    vel, p, flux, bc_values, flags, cols: tuple, rho, mu,
+    alpha, interpret: bool = False,
+):
+    """SIMPLE_FC fused momentum assembly: identical to
+    momentum_assembly except advection uses the stored conservative
+    [C,K] flux (solver/fc.py) instead of re-interpolated face
+    velocities."""
+    return _momentum_asm(
+        vel, p, flux, bc_values, flags, cols, rho, mu, alpha, interpret
+    )
+
+
+def _momentum_asm(
+    vel, p, flux, bc_values, flags, cols, rho, mu, alpha, interpret
+):
+    fc = flux is not None
     C = p.shape[0]
     K = len(cols)
     H = max(abs(c.offset) for c in cols)
@@ -242,7 +289,9 @@ def momentum_assembly(
     w_p = plane(vel[:, 2])
     p_p = plane(p)
 
-    kern = functools.partial(_momentum_kernel, tuple(cols), hr, BLOCK_ROWS)
+    kern = functools.partial(
+        _momentum_kernel, tuple(cols), hr, BLOCK_ROWS, fc
+    )
     flags2 = jnp.pad(flags, (0, Cp - C)).reshape(Rp, LANES)
     params = jnp.stack(
         [jnp.asarray(rho, p.dtype), jnp.asarray(mu, p.dtype),
@@ -253,6 +302,36 @@ def momentum_assembly(
     out_block = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda r: (r, z32(r)), memory_space=pltpu.VMEM
     )
+    kblock = pl.BlockSpec(
+        (K, BLOCK_ROWS, LANES),
+        lambda r: (z32(r), r, z32(r)),
+        memory_space=pltpu.VMEM,
+    )
+    operands = [params, bc_values, flags2, u_p, v_p, w_p, p_p]
+    in_specs = [
+        # Explicit i32 index maps: a full-array VMEM spec
+        # synthesizes i64 zero indices under jax_enable_x64, which
+        # Mosaic fails to legalize ('func.return').
+        pl.BlockSpec(
+            (1, 4), lambda r: (z32(r), z32(r)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            bc_values.shape, lambda r: (z32(r), z32(r)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (BLOCK_ROWS, LANES),
+            lambda r: (r, z32(r)),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4
+    if fc:
+        # [C,K] stored flux -> [K, Rp, LANES] blocked VMEM planes.
+        fl = jnp.moveaxis(flux, -1, 0)  # [K, C]
+        fl = jnp.pad(fl, ((0, 0), (0, Cp - C))).reshape(K, Rp, LANES)
+        operands.append(fl)
+        in_specs.append(kblock)
     diag, off, bu, bv, bw = pl.pallas_call(
         kern,
         out_shape=(
@@ -263,38 +342,16 @@ def momentum_assembly(
             jax.ShapeDtypeStruct((Rp, LANES), p.dtype),
         ),
         grid=(n_blocks,),
-        in_specs=[
-            # Explicit i32 index maps: a full-array VMEM spec
-            # synthesizes i64 zero indices under jax_enable_x64, which
-            # Mosaic fails to legalize ('func.return').
-            pl.BlockSpec(
-                (1, 4), lambda r: (z32(r), z32(r)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                bc_values.shape, lambda r: (z32(r), z32(r)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (BLOCK_ROWS, LANES),
-                lambda r: (r, z32(r)),
-                memory_space=pltpu.VMEM,
-            ),
-        ]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=in_specs,
         out_specs=(
             out_block,
-            pl.BlockSpec(
-                (K, BLOCK_ROWS, LANES),
-                lambda r: (z32(r), r, z32(r)),
-                memory_space=pltpu.VMEM,
-            ),
+            kblock,
             out_block,
             out_block,
             out_block,
         ),
         interpret=interpret,
-    )(params, bc_values, flags2, u_p, v_p, w_p, p_p)
+    )(*operands)
     diag = diag.reshape(Cp)[:C]
     off_ck = jnp.moveaxis(off.reshape(K, Cp)[:, :C], 0, -1)  # [C,K]
     b3 = jnp.stack(
@@ -448,6 +505,182 @@ def pc_assembly(
         diag.reshape(Cp)[:C],
         jnp.moveaxis(off.reshape(K, Cp)[:, :C], 0, -1),
         b.reshape(Cp)[:C],
+    )
+
+
+def _fc_pc_kernel(
+    cols, hr, br,
+    params_ref, bc_ref, flags_ref,
+    u_hbm, v_hbm, w_hbm, md_hbm,
+    diag_ref, off_ref, b_ref, fh_ref,
+):
+    """Fused SIMPLE_FC full-p continuity assembly (solver/fc.py:
+    ck_flux_h + ck_d_coeffs + ck_fc_pressure_system in one pass).
+
+    Differences from the parity _pc_kernel: the matrix coefficient is
+    the Rhie-Chow damping d_f = 0.5 rho A (V/a_c + V/a_n)/dist (NOT the
+    reference's rho A^2/a form), pressure columns close with a
+    one-sided Dirichlet d_b and add d_b * p_BC to the RHS,
+    prescribed-flux boundaries contribute NOTHING to the matrix, and
+    the flux predictor flux_h is emitted ([K,...] output) for the
+    conservative correction after the p-solve."""
+    r = pl.program_id(0)
+    start = pl.multiple_of(r * jnp.int32(br), br)
+    W = br + 2 * hr + 1
+    rho = params_ref[0, 0]
+    vol = params_ref[0, 1]
+
+    def body(ub, vb, wb, mb, sem):
+        for ref, buf in ((u_hbm, ub), (v_hbm, vb), (w_hbm, wb), (md_hbm, mb)):
+            dma = pltpu.make_async_copy(
+                ref.at[pl.ds(start, W), :], buf, sem
+            )
+            dma.start()
+            dma.wait()
+        flags = flags_ref[...]
+        active = ((flags >> ACTIVE_BIT) & 1) == 1
+        u_c = ub[hr : hr + br, :]
+        v_c = vb[hr : hr + br, :]
+        w_c = wb[hr : hr + br, :]
+        md_c = mb[hr : hr + br, :]
+        zero = jnp.zeros_like(u_c)
+        diag = zero
+        b = zero
+        for k, col in enumerate(cols):
+            interior = ((flags >> k) & 1) == 1
+            nxk, nyk, nzk = col.n_out
+            if col.offset != 0:
+                u_n = _shifted(ub, hr, br, col.offset)
+                v_n = _shifted(vb, hr, br, col.offset)
+                w_n = _shifted(wb, hr, br, col.offset)
+                md_n = _shifted(mb, hr, br, col.offset)
+            else:
+                u_n, v_n, w_n, md_n = u_c, v_c, w_c, md_c
+            # Flux predictor: plain interpolated face-normal velocity
+            # (LINEAR == LINEAR_WEIGHTED on a uniform box; these
+            # schemes carry no pressure term — fc.face_flux_h).
+            vn_int = 0.5 * (
+                (u_c + u_n) * nxk + (v_c + v_n) * nyk + (w_c + w_n) * nzk
+            )
+            if col.kind == "pressure":
+                vn_bnd = u_c * nxk + v_c * nyk + w_c * nzk
+            else:
+                vn_bnd = zero
+            fh = jnp.where(interior, vn_int, vn_bnd)
+            fh_ref[k] = jnp.where(active, fh, 0.0)
+            b = b - fh * (col.area * rho)
+            # d coefficients (fc.ck_d_coeffs): |md n| == md for unit
+            # normals; V/a == vol/md on the uniform box.
+            d_int = (
+                (0.5 * rho * col.area / col.dist_on)
+                * (vol / md_c + vol / md_n)
+            )
+            off_ref[k] = jnp.where(active & interior, -d_int, 0.0)
+            if col.kind == "pressure":
+                d_bnd = (rho * col.area / col.dist_fo) * (vol / md_c)
+                diag = diag + jnp.where(interior, d_int, d_bnd)
+                p_bc = bc_ref[col.zone, 3]
+                b = b + jnp.where(interior, 0.0, d_bnd * p_bc)
+            else:
+                # Prescribed-flux boundaries: no matrix contribution.
+                diag = diag + jnp.where(interior, d_int, 0.0)
+        diag_ref[...] = jnp.where(active, diag, jnp.ones_like(diag))
+        b_ref[...] = jnp.where(active, b, 0.0)
+
+    pl.run_scoped(
+        body,
+        *(
+            pltpu.VMEM((br + 2 * hr + 1, LANES), diag_ref.dtype)
+            for _ in range(4)
+        ),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cols", "interpret")
+)
+def fc_pc_assembly(
+    vel, mom_diag, cell_volume, bc_values, flags, cols: tuple, rho,
+    interpret: bool = False,
+):
+    """Fused SIMPLE_FC full-p continuity assembly on a uniform box.
+
+    vel [C,3] (post-momentum), mom_diag [C] (shared momentum diagonal),
+    cell_volume (traced scalar — uniform box) ->
+    (diag [C], off [C,K], b [C], flux_h [C,K]) matching
+    fc.ck_flux_h / fc.ck_fc_pressure_system with LINEAR_WEIGHTED
+    face velocities."""
+    C = mom_diag.shape[0]
+    K = len(cols)
+    H = max(abs(c.offset) for c in cols)
+    hr = -(-H // LANES) if H else 1
+    R = -(-C // LANES)
+    n_blocks = -(-R // BLOCK_ROWS)
+    Rp = n_blocks * BLOCK_ROWS
+    Cp = Rp * LANES
+
+    def plane(x, fill=0.0):
+        return jnp.pad(
+            jnp.pad(x, (0, Cp - C), constant_values=fill),
+            (hr * LANES, (hr + 1) * LANES),
+            constant_values=fill,
+        ).reshape(Rp + 2 * hr + 1, LANES)
+
+    u_p = plane(vel[:, 0])
+    v_p = plane(vel[:, 1])
+    w_p = plane(vel[:, 2])
+    md_p = plane(mom_diag, fill=1.0)  # avoid 0-division in padding
+
+    kern = functools.partial(_fc_pc_kernel, tuple(cols), hr, BLOCK_ROWS)
+    flags2 = jnp.pad(flags, (0, Cp - C)).reshape(Rp, LANES)
+    params = jnp.stack(
+        [jnp.asarray(rho, vel.dtype), jnp.asarray(cell_volume, vel.dtype)]
+        + [jnp.zeros((), vel.dtype)] * 2
+    )[None, :]
+    bc_values = jnp.asarray(bc_values, vel.dtype)
+    z32 = lambda r: jnp.int32(0)
+    out_block = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda r: (r, z32(r)), memory_space=pltpu.VMEM
+    )
+    kblock = pl.BlockSpec(
+        (K, BLOCK_ROWS, LANES),
+        lambda r: (z32(r), r, z32(r)),
+        memory_space=pltpu.VMEM,
+    )
+    diag, off, b, fh = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, LANES), vel.dtype),
+            jax.ShapeDtypeStruct((K, Rp, LANES), vel.dtype),
+            jax.ShapeDtypeStruct((Rp, LANES), vel.dtype),
+            jax.ShapeDtypeStruct((K, Rp, LANES), vel.dtype),
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4), lambda r: (z32(r), z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                bc_values.shape, lambda r: (z32(r), z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, LANES),
+                lambda r: (r, z32(r)),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(out_block, kblock, out_block, kblock),
+        interpret=interpret,
+    )(params, bc_values, flags2, u_p, v_p, w_p, md_p)
+    return (
+        diag.reshape(Cp)[:C],
+        jnp.moveaxis(off.reshape(K, Cp)[:, :C], 0, -1),
+        b.reshape(Cp)[:C],
+        jnp.moveaxis(fh.reshape(K, Cp)[:, :C], 0, -1),
     )
 
 

@@ -533,6 +533,7 @@ def ck_simple_step_fc(
     solver_extras=None,
     inertia=None,
     comm=None,
+    pallas_asm=None,  # static (cols, interpret) -> fused assembly
     maybe_singular: bool = True,
 ):
     """Flux-corrected SIMPLE on the gather-free (c,k)-direct path
@@ -590,16 +591,46 @@ def ck_simple_step_fc(
         else None
     )
 
-    F = flux * ck.area * rho
-    p_f = ck_face_pressure(
-        mesh, ck, bc, p, settings.pressure_interpolation,
-        grad_p=grad_p, grad_p_nbr=grad_p_nbr,
-    )
-    A3, b3, pe = ck_momentum(
-        mesh, ck, bc, settings, rho, vel, F, p_f,
-        diff_diag, diff_off, diff_b, grad_vel=grad_v, vel_nbr=vel_nbr,
-        inertia=inertia,
-    )
+    if pallas_asm is not None:
+        # Fused SIMPLE_FC momentum assembly (ops/pallas_assembly.py):
+        # the stored conservative flux rides into the kernel as a
+        # blocked [C,K] input; no other [C,K] intermediate touches HBM.
+        from orc_tpu.ops.pallas_assembly import (
+            bc_value_table,
+            fc_momentum_assembly,
+            pack_flags,
+        )
+
+        cols, interp = pallas_asm
+        flags = pack_flags(ck.interior, ck.mask)
+        bcv = bc_value_table(zone_scalar, zone_vector)
+        mdiag, moff, b3 = fc_momentum_assembly(
+            vel, p, flux, bcv, flags, cols, rho, mu,
+            settings.momentum_relaxation, interpret=interp,
+        )
+        A3 = EllMatrix(
+            diag=mdiag, off=moff, neighbors=None,
+            offsets=mesh.neighbor_offsets,
+        )
+        safe_dd = jnp.where(active, diff_diag, 1.0)
+        pe = jnp.where(
+            active[:, None],
+            ((settings.momentum_relaxation * mdiag - diff_diag)
+             / safe_dd)[:, None]
+            * jnp.ones((1, 3), mdiag.dtype),
+            0.0,
+        )
+    else:
+        F = flux * ck.area * rho
+        p_f = ck_face_pressure(
+            mesh, ck, bc, p, settings.pressure_interpolation,
+            grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+        )
+        A3, b3, pe = ck_momentum(
+            mesh, ck, bc, settings, rho, vel, F, p_f,
+            diff_diag, diff_off, diff_b, grad_vel=grad_v, vel_nbr=vel_nbr,
+            inertia=inertia,
+        )
 
     def solve_one(diag, off, b, x0):
         Ai = EllMatrix(
@@ -629,15 +660,34 @@ def ck_simple_step_fc(
     new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
 
     new_md_nbr = nbr_values(mesh, new_mom_diag, ck.interior)
-    new_vel_nbr = nbr_values(mesh, new_vel, ck.interior)
-    flux_h = ck_flux_h(
-        mesh, ck, bc, new_vel, settings.velocity_interpolation,
-        p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
-        mom_diag=new_mom_diag, mom_diag_nbr=new_md_nbr,
-        vel_nbr=new_vel_nbr,
-    )
-    d_ck = ck_d_coeffs(mesh, ck, bc, rho, new_mom_diag, new_md_nbr)
-    Pmat, b_p = ck_fc_pressure_system(mesh, ck, bc, rho, flux_h, d_ck)
+    if pallas_asm is not None:
+        from orc_tpu.ops.pallas_assembly import fc_pc_assembly
+
+        cols, interp = pallas_asm
+        pdiag, poff, b_p, flux_h = fc_pc_assembly(
+            new_vel, new_mom_diag[:, 0], mesh.cell_volume[0], bcv,
+            flags, cols, rho, interpret=interp,
+        )
+        Pmat = EllMatrix(
+            diag=pdiag, off=poff, neighbors=None,
+            offsets=mesh.neighbor_offsets,
+        )
+        # d for the conservative correction: recomputed in XLA from the
+        # shared momentum diagonal (fuses into the correction's
+        # elementwise pass; a 1-ulp mismatch vs the kernel's matrix
+        # coefficients only perturbs div(flux) at rounding scale,
+        # re-zeroed by the next p-solve).
+        d_ck = ck_d_coeffs(mesh, ck, bc, rho, new_mom_diag, new_md_nbr)
+    else:
+        new_vel_nbr = nbr_values(mesh, new_vel, ck.interior)
+        flux_h = ck_flux_h(
+            mesh, ck, bc, new_vel, settings.velocity_interpolation,
+            p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+            mom_diag=new_mom_diag, mom_diag_nbr=new_md_nbr,
+            vel_nbr=new_vel_nbr,
+        )
+        d_ck = ck_d_coeffs(mesh, ck, bc, rho, new_mom_diag, new_md_nbr)
+        Pmat, b_p = ck_fc_pressure_system(mesh, ck, bc, rho, flux_h, d_ck)
     p_new, p_info = _solve_p_prime(
         Pmat, b_p, p, settings, active, comm, solver_extras,
         maybe_singular, x0=p,

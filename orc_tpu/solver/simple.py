@@ -661,7 +661,8 @@ def _run_scan(
 
                 return ck_simple_step_fc(
                     mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s,
-                    extras, maybe_singular=maybe_singular,
+                    extras, pallas_asm=pallas_asm,
+                    maybe_singular=maybe_singular,
                 )
             from orc_tpu.solver.fc import simple_step_fc
 
@@ -732,6 +733,19 @@ def _make_chunk_runner(
 
         mesh = trim_for_ck(mesh)
         diff = None  # unused by the ck body; don't ship its arrays
+
+    if pallas_asm is not None and ck_diff is not None:
+        # The fused kernels compute diffusion from mu internally; only
+        # the diffusion DIAGONAL is still read (Peclet metrics). Dummy
+        # out the [C,K] off-diagonals + [C,3] sources (~0.6 GB at 16.8M
+        # cells f32) so they are not executable arguments. 2-row
+        # dummies fail loudly on any accidental use (cf. trim_for_ck).
+        dd, doff, _db = ck_diff
+        ck_diff = (
+            dd,
+            jnp.zeros((2, doff.shape[1]), doff.dtype),
+            jnp.zeros((2, 3), dd.dtype),
+        )
 
     def run(state, zone_codes, zone_scalar, zone_vector, rho, mu):
         return _run_scan(
@@ -906,9 +920,7 @@ def solve_steady(
                 flux=initial_flux(mesh, zc, zs, zv, settings, state),
             )
 
-    pallas_asm = None if use_fc else _pallas_asm_spec(
-        mesh, table, settings, ck
-    )
+    pallas_asm = _pallas_asm_spec(mesh, table, settings, ck)
     maybe_singular = (
         not table_has_pressure_bc(table)
         if use_fc

@@ -58,8 +58,18 @@ def main():
     print(f"mesh build: {time.perf_counter()-t0:.1f}s "
           f"(structured: {mesh.neighbor_offsets})", file=sys.stderr)
     rho, mu = 1.0, 1.0 / reynolds
+    import os
+
+    use_fc = os.environ.get("ORC_TPU_BENCH_FC", "0") == "1"
+    from orc_tpu.utils.settings import PressureVelocityCoupling
+
     settings = NumericalSettings(
         momentum=MomentumScheme.UD,
+        pressure_velocity_coupling=(
+            PressureVelocityCoupling.SIMPLE_FC
+            if use_fc
+            else PressureVelocityCoupling.SIMPLE
+        ),
         pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
         velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
         matrix_solver=MatrixSolverSettings(
@@ -68,8 +78,11 @@ def main():
             preconditioner=PreconditionMethod.JACOBI,
         ),
         # 3D needs a tighter pressure relaxation than 2D (0.1 diverges
-        # from ~24^3 up; 0.02 converges monotonically to 48^3+).
-        pressure_relaxation=0.1 if nz == 1 else 0.02,
+        # from ~24^3 up; 0.02 converges monotonically to 48^3+). FC is
+        # stable at the textbook 0.3.
+        pressure_relaxation=(
+            0.3 if use_fc else (0.1 if nz == 1 else 0.02)
+        ),
         momentum_relaxation=0.7,
         relaxation_mode=RelaxationMode.IMPLICIT,
     )
@@ -97,13 +110,34 @@ def main():
     else:
         print("above ck ceiling -> face-major step", file=sys.stderr)
 
+    # Fused assembly kernels exactly as solve_steady would pick them
+    # (ops/pallas_assembly.py; ORC_TPU_PALLAS_ASM=0 opts out).
+    from orc_tpu.solver.simple import _pallas_asm_spec
+
+    pallas_asm = _pallas_asm_spec(mesh, table, settings, ck)
+    print(f"fused assembly kernels: {pallas_asm is not None}",
+          file=sys.stderr)
+
     # Keep single dispatches well under ~10s: longer ones have crashed
     # the TPU worker through the tunnel (CLAUDE.md).
-    import os
-
     n_iters = int(os.environ.get("ORC_TPU_BENCH_ITERS", "50"))
-    run = _make_chunk_runner(mesh, settings, diff, n_iters, {}, ck=ck, ck_diff=ck_diff, maybe_singular=False)
+    run = _make_chunk_runner(
+        mesh, settings, diff, n_iters, {}, ck=ck, ck_diff=ck_diff,
+        pallas_asm=pallas_asm, maybe_singular=use_fc, use_fc=use_fc,
+    )
     state = initial_state(mesh)
+    if use_fc:
+        import dataclasses as _dc
+
+        from orc_tpu.ops.ck_ops import ck_bc as _ckbc
+        from orc_tpu.solver.fc import ck_initial_flux
+
+        state = _dc.replace(
+            state,
+            flux=ck_initial_flux(
+                mesh, ck, _ckbc(ck, zc, zs, zv), settings, state
+            ),
+        )
     t0 = time.perf_counter()
     state, _ = run(state, zc, zs, zv, rho, mu)
     _ = np.asarray(state.p)  # host copy = hard barrier (tunnel-safe)
