@@ -152,10 +152,17 @@ def make_sharded_step(
     mg_hierarchy=None,
     maybe_singular: bool = True,
     use_fc: bool = False,
+    transient=None,  # (dt, inner_iterations) -> implicit time marching
 ):
     """Build the jitted shard_map'ed n-step SIMPLE runner.
 
     Returns run(local_state, zc, zs, zv, rho, mu) -> (state, metrics).
+
+    `transient=(dt, inner_iterations)` switches the scan body from one
+    SIMPLE iteration to one implicit-Euler TIME step (solver/transient
+    semantics: inertia rho V/dt (phi - phi^n) in the momentum systems,
+    `inner_iterations` SIMPLE iterations per step, metrics from each
+    step's final inner iteration); `n_steps` then counts time steps.
 
     `use_ck=True` runs the gather-free (c,k)-direct step per device:
     the stacked per-partition CKGeometry is expanded once here (vmap
@@ -230,18 +237,20 @@ def make_sharded_step(
                         ),
                     )
 
-                def body(s, _):
+                def step1(s, inertia):
                     return ck_simple_step_fc(
                         lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff,
-                        s, extras, comm=comm, maybe_singular=maybe_singular,
+                        s, extras, inertia=inertia, comm=comm,
+                        maybe_singular=maybe_singular,
                     )
 
             else:
 
-                def body(s, _):
+                def step1(s, inertia):
                     return ck_simple_step(
                         lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s,
-                        extras, comm=comm, maybe_singular=maybe_singular,
+                        extras, inertia=inertia, comm=comm,
+                        maybe_singular=maybe_singular,
                     )
 
         else:
@@ -263,19 +272,44 @@ def make_sharded_step(
                         ),
                     )
 
-                def body(s, _):
+                def step1(s, inertia):
                     return simple_step_fc(
                         lmesh, zc, zs, zv, settings, rho, mu, diff, s,
-                        extras, comm=comm, maybe_singular=maybe_singular,
+                        extras, inertia=inertia, comm=comm,
+                        maybe_singular=maybe_singular,
                     )
 
             else:
 
-                def body(s, _):
+                def step1(s, inertia):
                     return simple_step(
                         lmesh, zc, zs, zv, settings, rho, mu, diff, s,
-                        extras, comm=comm, maybe_singular=maybe_singular,
+                        extras, inertia=inertia, comm=comm,
+                        maybe_singular=maybe_singular,
                     )
+
+        if transient is not None:
+            # Implicit-Euler time marching (solver/transient.py): the
+            # unsteady rho V/dt (phi - phi^n) term is per-DEVICE data
+            # (local cell volumes; halo/padding rows are masked inactive
+            # by the assemblies).
+            dt_t, inner_it = transient
+            rv_dt = rho * lmesh.cell_volume / dt_t
+
+            def body(s, _):
+                inertia = (rv_dt, s.vel)
+                s2, m = lax.scan(
+                    lambda si, __: step1(si, inertia),
+                    s, None, length=inner_it,
+                )
+                return s2, jax.tree.map(lambda a: a[-1], m)
+
+            state, metrics = lax.scan(body, state, None, length=n_steps)
+            add_axis0 = lambda t: jax.tree.map(lambda a: a[None], t)
+            return add_axis0(state), metrics
+
+        def body(s, _):
+            return step1(s, None)
 
         # Kahan-compensated f32 state accumulation (same mechanism as
         # the single-device runner — see solver/simple._run_scan).
@@ -484,3 +518,137 @@ def solve_steady_sharded(
         if check_divergence and bool(jax.device_get(jnp.any(metrics.diverged))):
             raise SolverDivergedError(done)
     return gather_state(partition, local, mesh.n_cells), history
+
+
+def solve_transient_sharded(
+    mesh,
+    table: BoundaryTable,
+    settings: NumericalSettings,
+    rho: float,
+    mu: float,
+    dt: float,
+    n_steps: int,
+    inner_iterations: int = 20,
+    state: Optional[FlowState] = None,
+    n_devices: Optional[int] = None,
+    verbose: bool = True,
+    check_divergence: bool = True,
+    partition_method: str = "auto",
+    use_ck: str | bool = "auto",
+    report_interval: int = 0,
+):
+    """Multi-device drop-in for solver/transient.solve_transient:
+    implicit-Euler time marching under `shard_map` — per-device inertia
+    from local cell volumes, ghost-layer refresh before every neighbor
+    shift, psum'd reductions in all solves. Returns the *global*
+    FlowState at t = n_steps*dt plus per-time-step metrics (each step's
+    final inner iteration), gathered over reporting chunks."""
+    from orc_tpu.parallel.partition import partition_mesh
+    from orc_tpu.solver.simple import (
+        CK_AUTO_MAX_CELLS,
+        initial_state,
+        table_has_pressure_bc,
+        table_maybe_singular,
+    )
+    from orc_tpu.utils.settings import (
+        GradientReconstruction,
+        PressureVelocityCoupling,
+    )
+
+    table.validate_supported()
+    use_fc = (
+        settings.pressure_velocity_coupling
+        == PressureVelocityCoupling.SIMPLE_FC
+    )
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    device_mesh = Mesh(np.array(devices), (AXIS,))
+    partition = partition_mesh(mesh, n, method=partition_method)
+
+    ck_grad_ok = settings.gradient_reconstruction in (
+        GradientReconstruction.GREEN_GAUSS_CELL,
+        GradientReconstruction.LEAST_SQUARES,
+    )
+    n_local = partition.local_mesh.cell_volume.shape[1]
+    if use_ck == "auto":
+        use_ck = (
+            ck_grad_ok
+            and partition.local_mesh.neighbor_offsets is not None
+            and n_local <= CK_AUTO_MAX_CELLS
+        )
+
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    if state is None:
+        state = initial_state(mesh)
+    local = scatter_state(partition, state)
+
+    mg_h = None
+    if settings.matrix_solver.solver_type == SolutionMethod.MULTIGRID:
+        from orc_tpu.solver.gmg import build_gmg_hierarchy, infer_box_dims
+
+        dims = (
+            infer_box_dims(mesh.neighbor_offsets, mesh.n_cells)
+            if mesh.neighbor_offsets is not None
+            else None
+        )
+        if dims is not None:
+            mg_h = build_gmg_hierarchy(
+                dims, mesh.neighbor_offsets, settings.matrix_solver
+            )
+        else:
+            from orc_tpu.ops.assembly import diffusion_system as _dsys
+            from orc_tpu.ops.fields import face_bc as _fbc
+            from orc_tpu.solver.amg import build_hierarchy
+
+            mg_h = build_hierarchy(
+                mesh,
+                _dsys(
+                    mesh, _fbc(mesh, zc, zs, zv), jnp.asarray(mu, mesh.dtype)
+                ),
+                settings.matrix_solver,
+            )
+
+    maybe_singular = (
+        not table_has_pressure_bc(table)
+        if use_fc
+        else table_maybe_singular(table)
+    )
+    chunk = n_steps if report_interval <= 0 else min(report_interval, n_steps)
+
+    def make_run(k):
+        return make_sharded_step(
+            partition, settings, device_mesh, n_steps=k,
+            use_ck=bool(use_ck), n_zones=len(table.zone_ids),
+            mg_hierarchy=mg_h, maybe_singular=maybe_singular,
+            use_fc=use_fc, transient=(dt, inner_iterations),
+        )
+
+    run = make_run(chunk)
+    history = []
+    done = 0
+    t0 = time.perf_counter()
+    while done < n_steps:
+        k = min(chunk, n_steps - done)
+        if k != chunk:
+            run = make_run(k)
+        local, metrics = run(local, zc, zs, zv, rho, mu)
+        jax.block_until_ready(local)
+        done += k
+        history.append(metrics)
+        if verbose:
+            va = jax.device_get(metrics.vel_avg[-1])
+            dt_ms = (time.perf_counter() - t0) * 1e3 / k
+            t0 = time.perf_counter()
+            print(
+                f"[{n} devices] t = {done * dt:.4g} ({done} steps): avg "
+                f"velocity = ({va[0]:.2e}, {va[1]:.2e}, {va[2]:.2e})  "
+                f"ms/step = {dt_ms:.3g}"
+            )
+        if check_divergence and bool(
+            jax.device_get(jnp.any(metrics.diverged))
+        ):
+            raise SolverDivergedError(done)
+    metrics = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs), *history
+    ) if len(history) > 1 else history[0]
+    return gather_state(partition, local, mesh.n_cells), metrics

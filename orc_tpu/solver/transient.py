@@ -183,6 +183,17 @@ def solve_transient(
     return state, metrics
 
 
+def solve_transient_sharded(*args, **kw):
+    """Multi-device implicit-Euler marching — see
+    parallel/sharded.solve_transient_sharded (re-exported here so the
+    transient surface parallels solve_steady / solve_steady_sharded)."""
+    from orc_tpu.parallel.sharded import (
+        solve_transient_sharded as _impl,
+    )
+
+    return _impl(*args, **kw)
+
+
 def courant_numbers(mesh: CompiledMesh, table: BoundaryTable, vel, dt):
     """(avg, min, max) cell Courant numbers Co = dt * sum_f |u_f.n| A /
     (2 V) — the standard FV CFL estimate.

@@ -209,3 +209,51 @@ def test_taylor_green_vortex_decay():
     assert err < 5e-3, f"max pointwise error {err:.2e} vs exact decay"
     e_ratio = np.sum(u * u + v * v) / (decay**2 * np.sum(u0**2 + v0**2))
     assert abs(e_ratio - 1.0) < 5e-3, f"kinetic-energy ratio {e_ratio:.4f}"
+
+
+def test_sharded_transient_matches_single_device():
+    """Distributed implicit-Euler marching (parallel/sharded.
+    solve_transient_sharded) reproduces the single-device trajectory —
+    for both the parity SIMPLE and SIMPLE_FC couplings."""
+    from orc_tpu.parallel.sharded import solve_transient_sharded
+    from orc_tpu.utils.settings import PressureVelocityCoupling
+
+    ny = 12
+    mesh, table = structured_box_mesh(4, ny, 1, lengths=(4e-4, H, 1e-4))
+    table.set("TOP_WALL", FaceCondition.WALL, vector_value=(U, 0, 0))
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set("INLET", FaceCondition.PRESSURE_INLET, scalar_value=0.0)
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    base = NumericalSettings(
+        momentum=MomentumScheme.UD,
+        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
+        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        matrix_solver=MatrixSolverSettings(
+            solver_type=SolutionMethod.BICGSTAB,
+            iterations=30,
+            preconditioner=PreconditionMethod.JACOBI,
+        ),
+        momentum_relaxation=0.8,
+        pressure_relaxation=0.2,
+    )
+    fc = base.replace(
+        pressure_velocity_coupling=PressureVelocityCoupling.SIMPLE_FC,
+        pressure_relaxation=0.3,
+    )
+    for settings, label in ((base, "simple"), (fc, "fc")):
+        kw = dict(dt=0.005, n_steps=6, inner_iterations=10, verbose=False)
+        s1, m1 = solve_transient(mesh, table, settings, RHO, MU, **kw)
+        s4, m4 = solve_transient_sharded(
+            mesh, table, settings, RHO, MU, n_devices=4, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(s4.vel), np.asarray(s1.vel),
+            rtol=1e-6, atol=1e-12, err_msg=label,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s4.p), np.asarray(s1.p),
+            rtol=1e-6, atol=1e-12, err_msg=label,
+        )
+        assert np.asarray(m4.vel_avg).shape == np.asarray(m1.vel_avg).shape
