@@ -41,6 +41,13 @@ def save_checkpoint(
             turb_eps=np.asarray(turb.eps),
             turb_mu_t=np.asarray(turb.mu_t),
         )
+    if state.flux is not None:
+        # SIMPLE_FC conservative stored flux ([C,K] on the ck path,
+        # [F] face-major): resuming WITHOUT it would re-seed from an
+        # interpolation and lose exact conservation. The layout must
+        # match the resuming run's step type — a mismatch fails loudly
+        # on shape.
+        extra["flux"] = np.asarray(state.flux)
     np.savez_compressed(
         path,
         vel=np.asarray(state.vel),
@@ -67,6 +74,9 @@ def load_checkpoint(path, mesh: CompiledMesh, with_turbulence=False):
             vel=jnp.asarray(z["vel"], mesh.dtype),
             p=jnp.asarray(z["p"], mesh.dtype),
             mom_diag=jnp.asarray(z["mom_diag"], mesh.dtype),
+            flux=(
+                jnp.asarray(z["flux"], mesh.dtype) if "flux" in z else None
+            ),
         )
         if not with_turbulence:
             return state, int(z["iteration"])

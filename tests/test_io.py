@@ -252,3 +252,29 @@ def test_checkpoint_turbulence_roundtrip(tmp_path):
     # Legacy signature unchanged.
     s4, it4 = load_checkpoint(p2, mesh)
     assert it4 == 3
+
+
+def test_checkpoint_fc_flux_roundtrip(tmp_path):
+    """SIMPLE_FC's conservative stored flux travels with the
+    checkpoint (resuming without it would re-seed from interpolation
+    and lose exact conservation)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    mesh, _ = structured_box_mesh(3, 3, 1)
+    state = initial_state(mesh)
+    K = mesh.cell_neighbors.shape[1]
+    flux = jnp.arange(mesh.n_cells * K, dtype=mesh.dtype).reshape(-1, K)
+    state = dataclasses.replace(state, flux=flux)
+    path = str(tmp_path / "fc.npz")
+    save_checkpoint(path, mesh, state, iteration=3)
+    state2, it = load_checkpoint(path, mesh)
+    assert it == 3
+    assert state2.flux is not None
+    np.testing.assert_allclose(np.asarray(state2.flux), np.asarray(flux))
+    # A non-FC checkpoint round-trips with flux=None (previous test's
+    # behavior preserved).
+    save_checkpoint(path, mesh, initial_state(mesh))
+    s3, _ = load_checkpoint(path, mesh)
+    assert s3.flux is None
