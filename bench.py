@@ -348,6 +348,82 @@ def extended_metrics():
         }
     )
 
+    # --- FUSED assembly bandwidth (the shipped default path) ---
+    # momentum_assembly + pc_assembly back-to-back, as one SIMPLE
+    # iteration issues them (ops/pallas_assembly.py). Minimum traffic:
+    # mom reads u,v,w,p + flags, writes diag/off/b3; pc reads u,v,w,md
+    # + flags, writes diag/off/b.
+    from orc_tpu.models.cavity import cavity_case as _cavity
+    from orc_tpu.solver.simple import _pallas_asm_spec as _spec
+    from orc_tpu.utils.settings import (
+        MatrixSolverSettings as _MSS,
+        PreconditionMethod as _PM,
+        RelaxationMode as _RM,
+        SolutionMethod as _SM,
+    )
+
+    mesh_f, table_f = _cavity(n=n_ext, dtype=jnp.float32)
+    s_f = _dc.replace(
+        ud,
+        relaxation_mode=_RM.IMPLICIT,
+        momentum_relaxation=0.7,
+        matrix_solver=_MSS(
+            solver_type=_SM.BICGSTAB, iterations=50,
+            preconditioner=_PM.JACOBI,
+        ),
+    )
+    ck_f = build_ck_geometry(mesh_f, len(table_f.zone_ids))
+    spec = _spec(mesh_f, table_f, s_f, ck_f)
+    if spec is not None:
+        from orc_tpu.ops.pallas_assembly import (
+            bc_value_table,
+            momentum_assembly,
+            pack_flags,
+            pc_assembly,
+        )
+
+        cols, interp = spec
+        zc_f, zs_f, zv_f = device_bc(table_f, dtype=jnp.float32)
+        flags = pack_flags(ck_f.interior, ck_f.mask)
+        bcv = bc_value_table(zs_f, zv_f)
+        Cf = mesh_f.n_cells
+        Kf = len(cols)
+
+        def fused_pair(st):
+            vel, p, md = st
+            mdiag, moff, b3 = momentum_assembly(
+                vel, p, bcv, flags, cols, 1.0, 1e-3, 0.7, interpret=interp
+            )
+            pdiag, poff, bp = pc_assembly(
+                vel, mdiag, flags, cols, 1.0, interpret=interp
+            )
+            b3c = jnp.moveaxis(b3, 0, -1)
+            return (
+                vel + 1e-12 * b3c,
+                p + 1e-12 * bp,
+                md + 1e-12 * pdiag,
+            )
+
+        st0 = (
+            jnp.asarray(rng.standard_normal((Cf, 3)) * 1e-3, jnp.float32),
+            jnp.asarray(rng.standard_normal(Cf) * 1e-3, jnp.float32),
+            jnp.ones((Cf,), jnp.float32),
+        )
+        t_fused = _scan_slope(fused_pair, st0, n=128)
+        bytes_fused = Cf * 4 * ((4 + 1 + 1 + Kf + 3) + (4 + 1 + 1 + Kf + 1))
+        gbps_fused = bytes_fused / t_fused / 1e9
+        lines.append(
+            {
+                "metric": (
+                    f"FUSED momentum+p-corr assembly bandwidth, "
+                    f"{n_ext}^2 f32 (shipped default)"
+                ),
+                "value": round(gbps_fused, 1),
+                "unit": "GB/s",
+                "vs_baseline": round(gbps_fused / V5E_HBM_GBPS, 3),
+            }
+        )
+
     # --- 1M-cell f32 cavity ms/iter (the scale-table headline) ---
     from orc_tpu.models.cavity import cavity_case
     from orc_tpu.solver.simple import _make_chunk_runner, initial_state
