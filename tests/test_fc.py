@@ -348,3 +348,57 @@ def test_fc_rans_channel_smoke():
     # channel's physical development, not the coupling).
     ub_plus = u.mean() / u_tau
     assert 8.0 < ub_plus < 25.0, ub_plus
+
+
+def test_fc_irregular_mesh_matches_structured():
+    """SIMPLE_FC on a genuinely irregular mesh (randomly permuted
+    cells, no structured offsets — the RCM + slice-plan path): the
+    converged cavity field matches the structured run's, mapped
+    through the compiled cell ordering. This pins FC on the
+    reference's own mesh class (unstructured, io.rs:32-515)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    mesh_s, table = cavity_case(n=12, lid_velocity=1.0)
+    from orc_tpu.mesh.compile import compile_from_arrays
+
+    C = mesh_s.n_cells
+    perm = rng.permutation(C)
+    inv = np.empty(C, np.int64)
+    inv[perm] = np.arange(C)
+    interior = np.asarray(mesh_s.face_interior)
+    mesh_i = compile_from_arrays(
+        dim=2,
+        face_owner=inv[np.asarray(mesh_s.face_owner)],
+        face_neighbor=np.where(
+            interior, inv[np.asarray(mesh_s.face_neighbor)], -1
+        ),
+        face_area=np.asarray(mesh_s.face_area),
+        face_normal=np.asarray(mesh_s.face_normal),
+        face_centroid=np.asarray(mesh_s.face_centroid),
+        face_zone_slot=np.asarray(mesh_s.face_zone_slot),
+        cell_centroid=np.asarray(mesh_s.cell_centroid)[perm],
+        cell_volume=np.asarray(mesh_s.cell_volume)[perm],
+        dtype=mesh_s.dtype,
+    )
+    assert mesh_i.neighbor_offsets is None  # genuinely irregular
+
+    s = _fc_settings(VelocityInterpolation.RHIE_CHOW)
+    kw = dict(iterations=400, reporting_interval=400, verbose=False)
+    st_s, _ = solve_steady(
+        mesh_s, table, s, 1.0, 0.01, state=initial_state(mesh_s), **kw
+    )
+    st_i, hist = solve_steady(
+        mesh_i, table, s, 1.0, 0.01, state=initial_state(mesh_i), **kw
+    )
+    assert not bool(np.any(np.asarray(hist[-1].diverged)))
+    # Map the irregular run's cells back to raw (= structured) order.
+    u_i = np.asarray(st_i.vel)
+    if mesh_i.cell_order is not None:
+        raw = np.empty_like(u_i)
+        raw[np.asarray(mesh_i.cell_order)] = u_i
+        u_i = raw
+    u_i = u_i[inv]  # undo the random permutation
+    np.testing.assert_allclose(
+        u_i, np.asarray(st_s.vel), rtol=0, atol=5e-8
+    )
