@@ -595,6 +595,12 @@ def ck_simple_step_fc(
         # Fused SIMPLE_FC momentum assembly (ops/pallas_assembly.py):
         # the stored conservative flux rides into the kernel as a
         # blocked [C,K] input; no other [C,K] intermediate touches HBM.
+        if inertia is not None:
+            raise NotImplementedError(
+                "the fused assembly kernels do not implement the "
+                "transient inertia term; pass pallas_asm=None for "
+                "time-marching runs (solve_transient already does)"
+            )
         from orc_tpu.ops.pallas_assembly import (
             bc_value_table,
             fc_momentum_assembly,

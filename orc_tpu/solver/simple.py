@@ -489,6 +489,12 @@ def ck_simple_step(
         # Fused assembly kernels (ops/pallas_assembly.py): one pass over
         # the cell fields produces the shared momentum matrix + RHS; no
         # [C,K] intermediates touch HBM.
+        if inertia is not None:
+            raise NotImplementedError(
+                "the fused assembly kernels do not implement the "
+                "transient inertia term; pass pallas_asm=None for "
+                "time-marching runs (solve_transient already does)"
+            )
         from orc_tpu.ops.pallas_assembly import (
             bc_value_table,
             momentum_assembly,
