@@ -87,11 +87,9 @@ def main():
         relaxation_mode=RelaxationMode.IMPLICIT,
     )
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
-    fbc = face_bc(mesh, zc, zs, zv)
-    diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
     from orc_tpu.solver.simple import CK_AUTO_MAX_CELLS
 
-    ck = ck_diff = None
+    ck = ck_diff = diff = None
     if n_cells <= CK_AUTO_MAX_CELLS:
         t0 = time.perf_counter()
         ck = build_ck_geometry(mesh, len(table.zone_ids))
@@ -104,10 +102,14 @@ def main():
         from orc_tpu.mesh.compile import trim_for_ck
 
         mesh = trim_for_ck(mesh)
-        diff = None
-        del fbc
         print(f"ck geometry: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     else:
+        # Face-major step only: build its diffusion system here so the
+        # ck path never materializes the [F]/[C,K] face tables it will
+        # immediately trim (at 4096^2 f32 that transient is ~1.4 GB of
+        # the HBM budget).
+        fbc = face_bc(mesh, zc, zs, zv)
+        diff = diffusion_system(mesh, fbc, jnp.asarray(mu, mesh.dtype))
         print("above ck ceiling -> face-major step", file=sys.stderr)
 
     # Fused assembly kernels exactly as solve_steady would pick them
