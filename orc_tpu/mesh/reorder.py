@@ -45,11 +45,15 @@ class SlicePlan:
     """Static per-tile slice schedule for an ELL matrix.
 
     starts:  [ntiles, n_max] i32 -- start of each slice in the PADDED
-             x vector (pad_lo zeros prepended); unused columns point at
-             0 and carry zero coefficients.
+             x vector (pad_lo zeros prepended); unused columns repeat
+             the tile's first used start (keeping the per-tile window
+             tight for the Pallas kernel) and carry zero coefficients.
     col_of:  [C, K] i32 -- slice column j of each ELL entry (tile-local);
              boundary/padded entries map to column 0, where their zero
              coefficients are harmlessly accumulated.
+    win_rows: static row count of the shared VMEM window the Pallas
+             slice kernel (ops/pallas_slice.py) DMAs per GROUP of
+             tiles: max over groups of the slice row span, + 2.
     """
 
     starts: jax.Array
@@ -59,6 +63,9 @@ class SlicePlan:
     pad_lo: int = dataclasses.field(metadata=dict(static=True))
     pad_hi: int = dataclasses.field(metadata=dict(static=True))
     n_cells: int = dataclasses.field(metadata=dict(static=True))
+    win_rows: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def ntiles(self) -> int:
@@ -171,8 +178,34 @@ def build_slice_plan(
     # Padded length pad_lo + C + pad_hi must cover the furthest slice
     # end pad_lo + raw_start.max() + tile.
     pad_hi = int(max(0, raw_start.max() + tile - C))
-    starts = np.zeros((ntiles, n_max), dtype=np.int64)
+    # Unused columns repeat the tile's first used start: zero
+    # coefficients make them no-ops, and pointing them INSIDE the
+    # tile's slice span keeps the Pallas kernel's per-group window
+    # tight (a 0 placeholder would stretch every window to row 0).
+    first_start = np.full(ntiles, pad_lo, dtype=np.int64)
+    has = counts > 0
+    first_start[has] = raw_start[tile_first[has]] + pad_lo
+    starts = np.broadcast_to(
+        first_start[:, None], (ntiles, n_max)
+    ).copy()
     starts[ut, j_of_pair] = raw_start + pad_lo
+
+    # Static window size for the Pallas slice kernel: group tiles by
+    # GROUP (the kernel's output block), pad the tail group by
+    # replicating the last tile (matching the kernel's padding), and
+    # take the worst row span. Rows are 128-lane rows of the padded x
+    # (tile == 128 on the kernel path).
+    from orc_tpu.ops.pallas_slice import GROUP, LANES
+
+    win_rows = 0
+    if tile == LANES:
+        q = starts // LANES
+        ngroups = -(-ntiles // GROUP)
+        qpad = np.concatenate(
+            [q] + [q[-1:]] * (ngroups * GROUP - ntiles), axis=0
+        ).reshape(ngroups, GROUP * n_max)
+        win_rows = int((qpad.max(axis=1) - qpad.min(axis=1)).max()) + 2
+
     return SlicePlan(
         starts=jnp.asarray(starts, jnp.int32),
         col_of=jnp.asarray(col_of, jnp.int32),
@@ -181,4 +214,5 @@ def build_slice_plan(
         pad_lo=pad_lo,
         pad_hi=pad_hi,
         n_cells=C,
+        win_rows=win_rows,
     )

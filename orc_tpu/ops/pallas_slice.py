@@ -1,0 +1,184 @@
+"""Pallas TPU kernel for the irregular-mesh slice-plan SpMV.
+
+The XLA lowering of `ops.spmv.slice_spmv` (vmapped dynamic_slice)
+degenerates to an ELEMENT gather of [ntiles*n_max, T] — measured on a
+v5e chip at the usual ~1.8 GB/s element-gather rate, i.e. ~7000x the
+structured shift SpMV and even ~6x WORSE than the plain [C,K] gather
+it was meant to replace (scripts/bench_irregular.py, round 3). TPUs
+have exactly one fast way to read many small windows at arbitrary
+offsets: DMA a covering window into VMEM once and slice it there.
+
+This kernel does that, exploiting the RCM-bounded bandwidth
+(mesh/reorder.py): consecutive tiles read from nearby rows of x, so a
+group of G=8 tiles shares ONE async-copied window of `plan.win_rows`
+rows. Each of the group's slices is then two VMEM rows + a dynamic
+lane rotation (`pltpu.roll`) + a lane select — no gather anywhere:
+
+    flat window index  rel = 128*rq + rr
+    x[rel : rel+128]   = where(lane < 128-rr,
+                               roll(win[rq],   -rr),
+                               roll(win[rq+1], -rr))
+
+HBM traffic is coef (the dominant term: [ntiles, n_max, T], the
+dense-column layout produced by EllMatrix.prepare()) + one window per
+8 tiles + y — within a small factor of the algorithmic minimum, vs the
+element-gather rate of the XLA formulations.
+
+f64 cannot use it on v5e (XLA's x64-emulation rewrite rejects custom
+calls) — irregular f64 falls back to the XLA gather path. Reference
+counterpart: none (the reference's CSR SpMV is cache-friendly on CPU
+regardless of ordering, linear_algebra.rs:143-178); this is the
+TPU-native answer to unstructured adjacency.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+GROUP = 8  # tiles per grid step (output sublanes per block)
+
+
+def _kernel(n_max, wr, qmin_ref, rel_ref, coef_ref, x_hbm, y_ref):
+    g = pl.program_id(0)
+    qmin = qmin_ref[g]
+
+    def body(win, sem):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(qmin, wr), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        for t in range(GROUP):
+            acc = jnp.zeros((1, LANES), y_ref.dtype)
+            for j in range(n_max):
+                rel = rel_ref[t, j]
+                rq = rel // LANES
+                rr = rel % LANES
+                pair = win[pl.ds(rq, 2), :]  # rows rq, rq+1
+                # roll left by rr: out[i] = row[(i + rr) mod 128]
+                rolled = pltpu.roll(pair, (LANES - rr) % LANES, axis=1)
+                sl = jnp.where(
+                    lane < LANES - rr, rolled[0:1, :], rolled[1:2, :]
+                )
+                acc = acc + coef_ref[t, j, :].reshape(1, LANES) * sl
+            y_ref[t, :] = acc[0]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((wr, LANES), y_ref.dtype),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "n_max", "win_rows", "interpret")
+)
+def _slice_spmv_pallas(
+    coef,
+    starts,
+    x_padded,
+    tile: int,
+    n_max: int,
+    win_rows: int,
+    interpret: bool = False,
+):
+    """y_off [ntiles*tile] for one matrix (no diagonal term).
+
+    coef: [ntiles, n_max, tile] slice-column coefficients;
+    starts: [ntiles, n_max] i32 slice starts into x_padded;
+    x_padded: [pad_lo + C + pad_hi] (plan contract: every slice
+    [s, s+tile) is in range).
+    """
+    assert tile == LANES
+    ntiles = coef.shape[0]
+    ngroups = -(-ntiles // GROUP)
+    ntp = ngroups * GROUP
+    if ntp != ntiles:
+        # Replicate the last tile's starts (keeps the group window
+        # tight); their coefficients are zero, output rows dropped.
+        starts = jnp.concatenate(
+            [starts]
+            + [starts[-1:]] * (ntp - ntiles),
+            axis=0,
+        )
+        coef = jnp.pad(coef, ((0, ntp - ntiles), (0, 0), (0, 0)))
+
+    q = starts // LANES
+    qmin = q.reshape(ngroups, GROUP * n_max).min(axis=1)  # [ngroups]
+    rel = (
+        starts - jnp.repeat(qmin, GROUP)[:, None] * LANES
+    ).astype(jnp.int32)
+
+    # Rows of x covering every window: qmin + win_rows <= n_rows.
+    n = x_padded.shape[0]
+    nrows = -(-n // LANES) + win_rows
+    x2 = jnp.pad(x_padded, (0, nrows * LANES - n)).reshape(nrows, LANES)
+
+    z32 = lambda g: jnp.int32(0)
+    kern = functools.partial(_kernel, n_max, win_rows)
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((ntp, LANES), x_padded.dtype),
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # qmin [ngroups]
+            pl.BlockSpec(
+                (GROUP, n_max),
+                lambda g: (g, z32(g)),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (GROUP, n_max, LANES),
+                lambda g: (g, z32(g), z32(g)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (GROUP, LANES),
+            lambda g: (g, z32(g)),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(qmin.astype(jnp.int32), rel, coef, x2)
+    return y.reshape(ntp * LANES)
+
+
+def slice_spmv_pallas(diag, coef, plan, x, interpret: bool = False):
+    """y = diag*x + slice-plan off-diagonal product, kernel path.
+
+    Handles leading batch dims by looping (the batch is a small static
+    constant — the [3,C] momentum systems)."""
+    batch = x.shape[:-1]
+    C = plan.n_cells
+    if batch:
+        import numpy as np
+
+        flat_x = x.reshape((-1, C))
+        flat_c = coef.reshape((-1,) + coef.shape[-3:])
+        ys = [
+            slice_spmv_pallas(
+                jnp.zeros((C,), x.dtype), flat_c[b], plan, flat_x[b],
+                interpret=interpret,
+            )
+            for b in range(int(np.prod(batch)))
+        ]
+        return diag * x + jnp.stack(ys).reshape(*batch, C)
+    xp = jnp.pad(x, (plan.pad_lo, plan.pad_hi))
+    y_off = _slice_spmv_pallas(
+        coef,
+        plan.starts,
+        xp,
+        tile=plan.tile,
+        n_max=plan.n_max,
+        win_rows=plan.win_rows,
+        interpret=interpret,
+    )[:C]
+    return diag * x + y_off

@@ -187,16 +187,43 @@ def ell_spmv(diag, off, neighbors, x, offsets=None):
     return diag * x + jnp.sum(off * xg, axis=-1)
 
 
+#: Pallas slice-plan kernel (ops/pallas_slice.py) — DEFAULT ON for
+#: irregular-mesh f32 SpMVs on TPU. The XLA formulation below lowers
+#: to an element gather (measured ~7000x the structured shift on v5e,
+#: scripts/bench_irregular.py); the kernel DMAs one VMEM window per 8
+#: tiles and rotates slices in-register. ORC_TPU_PALLAS_SLICE=0 opts
+#: out.
+_PALLAS_SLICE = _os.environ.get("ORC_TPU_PALLAS_SLICE", "1") == "1"
+
+
+def _slice_pallas_eligible(coef, plan, x):
+    if not _PALLAS_SLICE or plan.win_rows <= 0 or plan.tile != 128:
+        return False
+    if x.dtype != jnp.float32:
+        return False  # v5e x64-emulation rejects custom calls
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def slice_spmv(diag, coef, plan, x):
     """Gather-free SpMV over a slice plan (mesh/reorder.py).
 
     coef: [..., ntiles, n_max, T] slice-column coefficients (from
-    EllMatrix.prepare()); x: [..., C]. Each (tile, column) contributes
-    coef[t, j, :] * x_padded[starts[t, j] : +T] — a contiguous dynamic
-    slice, which XLA lowers to a gather with slice_sizes=(T,) (near-DMA
-    speed on TPU, unlike element gathers).
+    EllMatrix.prepare()); x: [..., C]. On TPU (f32) this dispatches to
+    the Pallas window kernel (ops/pallas_slice.py). The XLA fallback
+    below (vmapped dynamic_slice) is the portable reference: XLA
+    lowers it to a gather with slice_sizes=(T,), which TPU executes at
+    element-gather speed — correct everywhere, fast nowhere; it serves
+    CPU tests and f64.
     """
     from jax import lax
+
+    if _slice_pallas_eligible(coef, plan, x):
+        from orc_tpu.ops.pallas_slice import slice_spmv_pallas
+
+        return slice_spmv_pallas(diag, coef, plan, x)
 
     T, C = plan.tile, plan.n_cells
     batch = x.shape[:-1]
