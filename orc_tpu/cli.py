@@ -273,17 +273,41 @@ def cmd_init_case(args):
 def cmd_plot(args):
     import os
 
-    from orc_tpu.plotting import plot_2d
+    from orc_tpu.plotting import plot_2d, plot_face_velocities
 
-    root = args.data
-    if root.endswith(".csv"):
-        root = root[:-4]
-    if not os.path.exists(root + ".csv"):
-        print(f"error: data file not found: {root}.csv", file=sys.stderr)
-        return 2
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
-    written = plot_2d(root, title=args.title, out_dir=args.out_dir)
+    written = []
+    if args.data is not None:
+        root = args.data
+        if root.endswith(".csv"):
+            root = root[:-4]
+        if not os.path.exists(root + ".csv"):
+            print(
+                f"error: data file not found: {root}.csv", file=sys.stderr
+            )
+            return 2
+        written += plot_2d(root, title=args.title, out_dir=args.out_dir)
+    if args.face_velocity_files:
+        missing = [
+            f for f in args.face_velocity_files if not os.path.exists(f)
+        ]
+        if missing:
+            print(
+                f"error: face-velocity file not found: {missing[0]}",
+                file=sys.stderr,
+            )
+            return 2
+        written += plot_face_velocities(
+            args.face_velocity_files, out_dir=args.out_dir,
+            title=args.title,
+        )
+    if args.data is None and not args.face_velocity_files:
+        print(
+            "error: give a data root and/or --face-velocity-files",
+            file=sys.stderr,
+        )
+        return 2
     for f in written:
         print(f"wrote {f}")
     return 0
@@ -335,9 +359,20 @@ def main(argv=None):
     )
     p_plot.add_argument(
         "data",
+        nargs="?",
+        default=None,
         help="solution data root or .csv path (as written by `run`; "
         "<root>_gradients.csv and <root>_analytical.csv are picked up "
         "when present)",
+    )
+    p_plot.add_argument(
+        "--face-velocity-files",
+        "-f",
+        nargs="+",
+        default=None,
+        help="face-velocity files (io.data.write_face_velocities) for "
+        "the multi-file comparison figure (reference: "
+        "plot_output.py:220-260)",
     )
     p_plot.add_argument("--title", default=None)
     p_plot.add_argument("--out-dir", default=None)

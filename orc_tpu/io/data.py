@@ -88,6 +88,24 @@ def read_data(path) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(vel), np.asarray(p)
 
 
+def write_face_velocities(path, mesh, face_vel, precision: int = 6):
+    """Write per-FACE velocities for the multi-file comparison plot
+    (plotting.plot_face_velocities; reference consumer:
+    plot_output.py:220-260 — rows `id\\t(x, y, z)\\t(u, v, w)`).
+
+    `face_vel`: [F,3] face velocity vectors (e.g.
+    ops.interpolation.face_velocity). Faces keep mesh order — the id
+    column is informational, like the reference format's."""
+    fc = np.asarray(mesh.face_centroid)
+    fv = np.asarray(face_vel)
+    with open(path, "w") as f:
+        for i in range(fc.shape[0]):
+            f.write(
+                f"{i}\t{_vec(fc[i], precision)}\t"
+                f"{_vec(fv[i], precision)}\n"
+            )
+
+
 def write_gradients(path, mesh, grad_vel, grad_p, precision: int = 7):
     """Write per-cell velocity (9 components, row-major) and pressure
     (3 components) gradients (reference: io.rs:622-662)."""

@@ -182,7 +182,14 @@ def build_slice_plan(
     # coefficients make them no-ops, and pointing them INSIDE the
     # tile's slice span keeps the Pallas kernel's per-group window
     # tight (a 0 placeholder would stretch every window to row 0).
-    first_start = np.full(ntiles, pad_lo, dtype=np.int64)
+    # Tiles with NO interior entries get a placeholder inside their own
+    # row span (not pad_lo: a far empty tile would stretch its group's
+    # window back to the vector start and blow the kernel's VMEM
+    # budget).
+    own_span = pad_lo + np.minimum(
+        np.arange(ntiles, dtype=np.int64) * tile, max(0, C - tile)
+    )
+    first_start = own_span
     has = counts > 0
     first_start[has] = raw_start[tile_first[has]] + pad_lo
     starts = np.broadcast_to(

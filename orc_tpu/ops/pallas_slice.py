@@ -151,11 +151,49 @@ def _slice_spmv_pallas(
     return y.reshape(ntp * LANES)
 
 
+def _vmappable_kernel(plan, interpret):
+    """The kernel call wrapped in a custom vmap rule: `jax.vmap`
+    (the [3,C] batched momentum solve, solver/simple.py) unrolls into
+    per-element calls of the UNBATCHED Mosaic lowering instead of
+    relying on Mosaic's automatic batched lowering of a kernel with a
+    memory_space=ANY operand + manual run_scoped DMA, which is
+    unexercised on hardware (ADVICE r3). The batch is a small static
+    constant (3), so unrolling is the right lowering anyway."""
+    kw = dict(
+        tile=plan.tile,
+        n_max=plan.n_max,
+        win_rows=plan.win_rows,
+        interpret=interpret,
+    )
+
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def y_off(coef, starts, xp):
+        return _slice_spmv_pallas(coef, starts, xp, **kw)
+
+    @y_off.def_vmap
+    def _rule(axis_size, in_batched, coef, starts, xp):
+        cb, sb, xb = in_batched
+        outs = [
+            y_off(
+                coef[i] if cb else coef,
+                starts[i] if sb else starts,
+                xp[i] if xb else xp,
+            )
+            for i in range(axis_size)
+        ]
+        return jnp.stack(outs), True
+
+    return y_off
+
+
 def slice_spmv_pallas(diag, coef, plan, x, interpret: bool = False):
     """y = diag*x + slice-plan off-diagonal product, kernel path.
 
     Handles leading batch dims by looping (the batch is a small static
-    constant — the [3,C] momentum systems)."""
+    constant — the [3,C] momentum systems); batching introduced by
+    jax.vmap takes the same per-element route via _vmappable_kernel."""
     batch = x.shape[:-1]
     C = plan.n_cells
     if batch:
@@ -172,13 +210,5 @@ def slice_spmv_pallas(diag, coef, plan, x, interpret: bool = False):
         ]
         return diag * x + jnp.stack(ys).reshape(*batch, C)
     xp = jnp.pad(x, (plan.pad_lo, plan.pad_hi))
-    y_off = _slice_spmv_pallas(
-        coef,
-        plan.starts,
-        xp,
-        tile=plan.tile,
-        n_max=plan.n_max,
-        win_rows=plan.win_rows,
-        interpret=interpret,
-    )[:C]
+    y_off = _vmappable_kernel(plan, interpret)(coef, plan.starts, xp)[:C]
     return diag * x + y_off

@@ -196,8 +196,19 @@ def ell_spmv(diag, off, neighbors, x, offsets=None):
 _PALLAS_SLICE = _os.environ.get("ORC_TPU_PALLAS_SLICE", "1") == "1"
 
 
+#: VMEM ceiling for the slice kernel's shared per-group window
+#: (win_rows * 128 lanes * 4 B = win_rows * 512 B). 8192 rows = 4 MiB,
+#: leaving headroom for the coef block + outputs inside v5e's ~64 MiB
+#: VMEM even with double-buffered blocks. A plan whose RCM bandwidth
+#: (or a stray empty tile, see mesh/reorder.py) exceeds this falls back
+#: to the XLA path instead of failing Mosaic compilation.
+_SLICE_WIN_ROWS_MAX = 8192
+
+
 def _slice_pallas_eligible(coef, plan, x):
     if not _PALLAS_SLICE or plan.win_rows <= 0 or plan.tile != 128:
+        return False
+    if plan.win_rows > _SLICE_WIN_ROWS_MAX:
         return False
     if x.dtype != jnp.float32:
         return False  # v5e x64-emulation rejects custom calls

@@ -129,6 +129,73 @@ def plot_2d(
     return written
 
 
+def _read_face_velocities(path):
+    """Parse a face-velocity file: `id\\t(x, y, z)\\t(u, v, w)` per
+    face (writer: io.data.write_face_velocities; reference consumer:
+    plot_output.py:233-244)."""
+    x, y, u, v = [], [], [], []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            _, cent, vel = line.split("\t")
+            cx, cy = [float(s) for s in cent.strip("()\n").split(",")[:2]]
+            vu, vv = [float(s) for s in vel.strip("()\n").split(",")[:2]]
+            x.append(cx)
+            y.append(cy)
+            u.append(vu)
+            v.append(vv)
+    return np.asarray(x), np.asarray(y), np.asarray(u), np.asarray(v)
+
+
+def plot_face_velocities(
+    filenames,
+    save: bool = True,
+    out_dir: Optional[str] = None,
+    title: Optional[str] = None,
+):
+    """Multi-file face-velocity comparison: one row per file, a shared
+    u-contour color scale + a quiver scaled to the global velocity
+    magnitude (reference: plot_output.py:220-260, headless / tri-based
+    like plot_2d). Returns the list of files written."""
+    import matplotlib.tri as tri
+
+    plt = _mpl()
+    if isinstance(filenames, (str, os.PathLike)):
+        filenames = [filenames]
+    out_dir = out_dir or os.path.dirname(str(filenames[0])) or "."
+    data = [_read_face_velocities(f) for f in filenames]
+
+    u_min = min(d[2].min() for d in data)
+    u_max = max(d[2].max() for d in data)
+    v_max = max(abs(d[3]).max() for d in data)
+    arrow_scale = float(np.hypot(u_max, v_max)) * 30 or 1.0
+    levels = np.linspace(u_min, u_max, 10) if u_max > u_min else 10
+
+    fig, axs = plt.subplots(
+        nrows=len(data), layout="constrained", sharex=True, sharey=True,
+        squeeze=False,
+    )
+    axs = axs[:, 0]
+    if title:
+        fig.suptitle(title)
+    cm = None
+    for ax, fname, (x, y, u, v) in zip(axs, filenames, data):
+        cm = ax.tricontourf(tri.Triangulation(x, y), u, levels=levels)
+        ax.quiver(
+            x, y, u, v, scale=arrow_scale, scale_units="width", width=0.002
+        )
+        ax.set_title(os.path.basename(str(fname)))
+    fig.colorbar(cm, ax=axs, label="U [m/s]")
+    written = []
+    if save:
+        fn = os.path.join(out_dir, "face_velocities.png")
+        fig.savefig(fn, dpi=200)
+        written.append(fn)
+    plt.close(fig)
+    return written
+
+
 def write_analytical_profile(path, params, channel_height=None, n=128):
     """Write `<name>_analytical.csv` for plot_2d (reference:
     tests.rs:18-31)."""

@@ -278,3 +278,40 @@ def test_checkpoint_fc_flux_roundtrip(tmp_path):
     save_checkpoint(path, mesh, initial_state(mesh))
     s3, _ = load_checkpoint(path, mesh)
     assert s3.flux is None
+
+
+def test_face_velocities_write_plot_cycle(tmp_path):
+    """write_face_velocities rows parse exactly the way the reference
+    plotter parses them (plot_output.py:233-244), and
+    plot_face_velocities renders a multi-file comparison figure."""
+    import jax.numpy as jnp
+
+    from orc_tpu.io.data import write_face_velocities
+    from orc_tpu.ops.fields import device_bc, face_bc
+    from orc_tpu.ops.interpolation import face_velocity
+    from orc_tpu.plotting import _read_face_velocities, plot_face_velocities
+
+    mesh, table = structured_box_mesh(6, 4, 1)
+    table.set("TOP_WALL", FaceCondition.WALL, vector_value=(1.0, 0, 0))
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    fbc = face_bc(mesh, zc, zs, zv)
+    rng = np.random.default_rng(5)
+    files = []
+    for i in range(2):
+        vel = jnp.asarray(rng.standard_normal((mesh.n_cells, 3)) * 0.1)
+        fv = face_velocity(mesh, fbc, vel)
+        path = tmp_path / f"faces_{i}.csv"
+        write_face_velocities(path, mesh, fv)
+        # Round trip through the plot parser (the reference's parse
+        # shape: id \t (x, y, z) \t (u, v, w)).
+        x, y, u, v = _read_face_velocities(path)
+        np.testing.assert_allclose(
+            x, np.asarray(mesh.face_centroid)[:, 0], rtol=1e-5, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            u, np.asarray(fv)[:, 0], rtol=1e-5, atol=1e-8
+        )
+        files.append(str(path))
+    written = plot_face_velocities(files, out_dir=str(tmp_path))
+    assert written and os.path.exists(written[0])
+    assert os.path.getsize(written[0]) > 10_000

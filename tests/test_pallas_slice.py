@@ -1,0 +1,163 @@
+"""Interpret-mode equivalence pins for the irregular-mesh Pallas slice
+kernel (ops/pallas_slice.py) against the gather SpMV.
+
+The kernel is DEFAULT ON for every irregular-mesh f32 TPU SpMV
+(momentum, pressure, AMG coarse levels), but the CPU test suite routes
+around it via _slice_pallas_eligible — so, like pallas_assembly, the
+kernel math itself is pinned here by calling it directly with
+interpret=True (byte-for-byte the same kernel Mosaic compiles on TPU).
+
+Covers: unbatched, explicit [3,C] batch, jax.vmap (the production
+momentum-solve shape — routed through the custom_vmap unroll), tile
+counts not divisible by GROUP, a partial last tile, and the
+empty-tile placeholder contract of mesh/reorder.build_slice_plan.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from orc_tpu.mesh.reorder import build_slice_plan
+from orc_tpu.ops.pallas_slice import GROUP, slice_spmv_pallas
+from orc_tpu.ops.spmv import EllMatrix, ell_spmv
+
+
+def _random_banded(C, K=4, bw=10, seed=0, empty_tiles=()):
+    """A random banded ELL sparsity (what RCM produces) + a matching
+    slice plan; `empty_tiles` rows get no interior entries at all."""
+    rng = np.random.default_rng(seed)
+    base = np.arange(C)[:, None]
+    nbrs = base + rng.integers(-bw, bw + 1, (C, K))
+    valid = (nbrs >= 0) & (nbrs < C) & (nbrs != base)
+    t = np.arange(C) // 128
+    for et in empty_tiles:
+        valid[t == et] = False
+    nbrs = np.where(valid, nbrs, base)
+    plan = build_slice_plan(nbrs, valid, tile=128)
+    assert plan is not None
+    off = (rng.standard_normal((C, K)) * valid).astype(np.float32)
+    diag = (rng.standard_normal(C) + 5.0).astype(np.float32)
+    x = rng.standard_normal(C).astype(np.float32)
+    return nbrs, off, diag, x, plan
+
+
+def _prepared_coef(off, nbrs, plan):
+    A = EllMatrix(
+        diag=jnp.zeros(off.shape[:-1], off.dtype),
+        off=jnp.asarray(off),
+        neighbors=jnp.asarray(nbrs),
+        plan=plan,
+    ).prepare()
+    return A.off  # [..., ntiles, n_max, T]
+
+
+# C values chosen so ntiles % GROUP != 0 and the last tile is partial.
+@pytest.mark.parametrize("C", [300, 1410])
+def test_kernel_matches_gather(C):
+    nbrs, off, diag, x, plan = _random_banded(C, seed=C % 97)
+    ntiles = plan.ntiles
+    assert ntiles % GROUP != 0  # tail group exercised
+    assert C % 128 != 0  # partial last tile exercised
+    coef = _prepared_coef(off, nbrs, plan)
+    y_ref = ell_spmv(jnp.asarray(diag), jnp.asarray(off), jnp.asarray(nbrs), jnp.asarray(x))
+    y = slice_spmv_pallas(
+        jnp.asarray(diag), coef, plan, jnp.asarray(x), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=2e-6, atol=2e-6
+    )
+
+
+def test_kernel_batched_explicit():
+    """Explicit [3,C] leading batch (the prepared momentum systems)."""
+    C = 500
+    nbrs, off1, diag1, _, plan = _random_banded(C, seed=2)
+    rng = np.random.default_rng(5)
+    valid = off1 != 0
+    off = (rng.standard_normal((3, C, off1.shape[1])) * valid).astype(
+        np.float32
+    )
+    diag = (rng.standard_normal((3, C)) + 5.0).astype(np.float32)
+    x = rng.standard_normal((3, C)).astype(np.float32)
+    coef = _prepared_coef(jnp.asarray(off), jnp.asarray(nbrs), plan)
+    y_ref = ell_spmv(
+        jnp.asarray(diag), jnp.asarray(off), jnp.asarray(nbrs), jnp.asarray(x)
+    )
+    y = slice_spmv_pallas(
+        jnp.asarray(diag), coef, plan, jnp.asarray(x), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=2e-6, atol=2e-6
+    )
+
+
+def test_kernel_under_vmap():
+    """jax.vmap over the kernel (how solver/simple.py's batched
+    momentum solve reaches it) must route through the custom_vmap
+    unroll and match the gather path."""
+    C = 400
+    nbrs, off1, _, _, plan = _random_banded(C, seed=3)
+    rng = np.random.default_rng(7)
+    valid = off1 != 0
+    off = (rng.standard_normal((3, C, off1.shape[1])) * valid).astype(
+        np.float32
+    )
+    diag = (rng.standard_normal((3, C)) + 5.0).astype(np.float32)
+    x = rng.standard_normal((3, C)).astype(np.float32)
+    coef = _prepared_coef(jnp.asarray(off), jnp.asarray(nbrs), plan)
+
+    y = jax.vmap(
+        lambda d, c, xi: slice_spmv_pallas(d, c, plan, xi, interpret=True)
+    )(jnp.asarray(diag), coef, jnp.asarray(x))
+    y_ref = ell_spmv(
+        jnp.asarray(diag), jnp.asarray(off), jnp.asarray(nbrs), jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=2e-6, atol=2e-6
+    )
+
+
+def test_empty_tile_placeholder_stays_local():
+    """A tile with zero interior entries must get a placeholder start
+    inside its OWN row span (mesh/reorder.py): a pad_lo placeholder
+    would stretch its group's VMEM window back to the vector start.
+    The kernel must still match the gather path on such a plan."""
+    C = 128 * 12  # two groups of GROUP=8 (padded)
+    empty = (2, 9)
+    nbrs, off, diag, x, plan = _random_banded(
+        C, bw=10, seed=11, empty_tiles=empty
+    )
+    starts = np.asarray(plan.starts)
+    for et in empty:
+        lo = plan.pad_lo + et * 128
+        assert np.all(starts[et] >= lo) and np.all(starts[et] <= lo + 128)
+    # Window span stays at group + band scale, not the
+    # tile-9-to-row-0 span (>= 9*128/128 + group rows).
+    assert plan.win_rows <= GROUP + (2 * 10) // 128 + 4
+    coef = _prepared_coef(off, nbrs, plan)
+    y_ref = ell_spmv(
+        jnp.asarray(diag), jnp.asarray(off), jnp.asarray(nbrs), jnp.asarray(x)
+    )
+    y = slice_spmv_pallas(
+        jnp.asarray(diag), coef, plan, jnp.asarray(x), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=2e-6, atol=2e-6
+    )
+
+
+def test_win_rows_cap_falls_back_to_xla():
+    """Plans whose window exceeds the VMEM ceiling must be rejected by
+    the eligibility gate (ops/spmv._slice_pallas_eligible), not fed to
+    Mosaic."""
+    import dataclasses
+
+    from orc_tpu.ops.spmv import _SLICE_WIN_ROWS_MAX, _slice_pallas_eligible
+
+    C = 400
+    nbrs, off, diag, x, plan = _random_banded(C, seed=13)
+    big = dataclasses.replace(plan, win_rows=_SLICE_WIN_ROWS_MAX + 1)
+    coef = _prepared_coef(off, nbrs, plan)
+    assert not _slice_pallas_eligible(coef, big, jnp.asarray(x))
