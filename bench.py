@@ -382,7 +382,7 @@ def extended_metrics():
             pc_assembly,
         )
 
-        cols, interp = spec
+        cols, aspec, interp = spec
         zc_f, zs_f, zv_f = device_bc(table_f, dtype=jnp.float32)
         flags = pack_flags(ck_f.interior, ck_f.mask)
         bcv = bc_value_table(zs_f, zv_f)
@@ -392,10 +392,12 @@ def extended_metrics():
         def fused_pair(st):
             vel, p, md = st
             mdiag, moff, b3 = momentum_assembly(
-                vel, p, bcv, flags, cols, 1.0, 1e-3, 0.7, interpret=interp
+                vel, p, bcv, flags, cols, 1.0, 1e-3, 0.7,
+                spec=aspec, interpret=interp,
             )
             pdiag, poff, bp = pc_assembly(
-                vel, mdiag, flags, cols, 1.0, interpret=interp
+                vel, mdiag, bcv, flags, cols, 1.0,
+                spec=aspec, interpret=interp,
             )
             b3c = jnp.moveaxis(b3, 0, -1)
             return (
@@ -421,6 +423,81 @@ def extended_metrics():
                 "value": round(gbps_fused, 1),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps_fused / V5E_HBM_GBPS, 3),
+            }
+        )
+
+    # --- FUSED assembly, reference-default schemes (CD1 + SecondOrder
+    # pressure + Rhie-Chow — lib.rs:58-74): the round-4 kernel
+    # extension. Extra traffic vs the UD/Linear pair: grad_p (GG cell
+    # gradients, computed in XLA: read p, write 3C per side that needs
+    # it) + the mom_diag and grad-p planes the kernels stream.
+    s_rc = _dc.replace(
+        s_f,
+        momentum=MomentumScheme.CD1,
+        pressure_interpolation=PressureInterpolation.SECOND_ORDER,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+    )
+    spec_rc = _spec(mesh_f, table_f, s_rc, ck_f)
+    if spec_rc is not None:
+        from orc_tpu.ops.ck_ops import ck_bc as _ckbc2
+        from orc_tpu.ops.ck_ops import ck_pressure_gradient as _ckgp
+        from orc_tpu.ops.pallas_assembly import (
+            bc_value_table,
+            momentum_assembly,
+            pack_flags,
+            pc_assembly,
+        )
+
+        cols, aspec, interp = spec_rc
+        zc_f, zs_f, zv_f = device_bc(table_f, dtype=jnp.float32)
+        flags = pack_flags(ck_f.interior, ck_f.mask)
+        bcv = bc_value_table(zs_f, zv_f)
+        bc_f = _ckbc2(ck_f, zc_f, zs_f, zv_f)
+        Cf = mesh_f.n_cells
+        Kf = len(cols)
+
+        def fused_rc(st):
+            vel, p, md = st
+            grad_p = _ckgp(mesh_f, ck_f, bc_f, p)
+            mdiag, moff, b3 = momentum_assembly(
+                vel, p, bcv, flags, cols, 1.0, 1e-3, 0.7,
+                grad_p=grad_p, mom_diag=md,
+                spec=aspec, interpret=interp,
+            )
+            pdiag, poff, bp = pc_assembly(
+                vel, mdiag, bcv, flags, cols, 1.0,
+                p=p, grad_p=grad_p, spec=aspec, interpret=interp,
+            )
+            b3c = jnp.moveaxis(b3, 0, -1)
+            return (
+                vel + 1e-12 * b3c,
+                p + 1e-12 * bp,
+                md + 1e-12 * pdiag,
+            )
+
+        st0 = (
+            jnp.asarray(rng.standard_normal((Cf, 3)) * 1e-3, jnp.float32),
+            jnp.asarray(rng.standard_normal(Cf) * 1e-3, jnp.float32),
+            jnp.ones((Cf,), jnp.float32),
+        )
+        t_rc = _scan_slope(fused_rc, st0, n=128)
+        # Algorithmic traffic: gradient pass (read p C, write gp 2C for
+        # a 2D box) + momentum (read u,v,w,p 4C + gp 2C + md C + flags C,
+        # write diag C + off KC + b 3C) + pc (read u,v,w,md,p,gp 7C +
+        # flags C, write diag C + off KC + b C).
+        bytes_rc = Cf * 4 * (
+            (1 + 2) + (4 + 2 + 1 + 1 + 1 + Kf + 3) + (7 + 1 + 1 + Kf + 1)
+        )
+        gbps_rc = bytes_rc / t_rc / 1e9
+        lines.append(
+            {
+                "metric": (
+                    f"FUSED assembly bandwidth, CD1+SecondOrder+RhieChow "
+                    f"(reference-default schemes), {n_ext}^2 f32"
+                ),
+                "value": round(gbps_rc, 1),
+                "unit": "GB/s",
+                "vs_baseline": round(gbps_rc / V5E_HBM_GBPS, 3),
             }
         )
 

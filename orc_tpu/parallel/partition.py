@@ -255,6 +255,11 @@ def _partition_slab(
         cell_neighbors=i32(l_cnbr),
         dim=mesh.dim,
         neighbor_offsets=offs,
+        # Uniform-box column constants hold for every owned local cell
+        # (slab windows preserve global geometry and column order), so
+        # the per-device ck path keeps the compact UniformCKGeometry —
+        # and the fused Pallas assembly kernels stay eligible.
+        ck_constants=mesh.ck_constants,
     )
     return Partition(
         local_mesh=local_mesh,

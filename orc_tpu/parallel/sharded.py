@@ -153,6 +153,7 @@ def make_sharded_step(
     maybe_singular: bool = True,
     use_fc: bool = False,
     transient=None,  # (dt, inner_iterations) -> implicit time marching
+    pallas_asm=None,  # static (cols, AsmSpec, interpret) -> fused kernels
 ):
     """Build the jitted shard_map'ed n-step SIMPLE runner.
 
@@ -241,6 +242,7 @@ def make_sharded_step(
                     return ck_simple_step_fc(
                         lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff,
                         s, extras, inertia=inertia, comm=comm,
+                        pallas_asm=pallas_asm,
                         maybe_singular=maybe_singular,
                     )
 
@@ -250,6 +252,7 @@ def make_sharded_step(
                     return ck_simple_step(
                         lmesh, ck, zc, zs, zv, settings, rho, mu, ck_diff, s,
                         extras, inertia=inertia, comm=comm,
+                        pallas_asm=pallas_asm,
                         maybe_singular=maybe_singular,
                     )
 
@@ -483,10 +486,22 @@ def solve_steady_sharded(
         if use_fc
         else table_maybe_singular(table)
     )
+    # Fused assembly kernels per device: the column constants come from
+    # the GLOBAL uniform box (slab-local offsets/geometry are
+    # identical); per-cell boundary flags come from the local ck masks
+    # inside the step.
+    from orc_tpu.solver.simple import _pallas_asm_spec
+
+    pallas_asm = (
+        _pallas_asm_spec(mesh, table, settings, ck=use_ck or None, fc=use_fc)
+        if use_ck and partition.local_mesh.neighbor_offsets is not None
+        else None
+    )
     run = make_sharded_step(
         partition, settings, device_mesh, n_steps=reporting_interval,
         use_ck=bool(use_ck), n_zones=len(table.zone_ids), mg_hierarchy=mg_h,
         maybe_singular=maybe_singular, use_fc=use_fc,
+        pallas_asm=pallas_asm,
     )
     history = []
     done = 0
@@ -498,7 +513,7 @@ def solve_steady_sharded(
                 partition, settings, device_mesh, n_steps=k,
                 use_ck=bool(use_ck), n_zones=len(table.zone_ids),
                 mg_hierarchy=mg_h, maybe_singular=maybe_singular,
-                use_fc=use_fc,
+                use_fc=use_fc, pallas_asm=pallas_asm,
             )
         local, metrics = run(local, zc, zs, zv, rho, mu)
         jax.block_until_ready(local)
@@ -613,6 +628,16 @@ def solve_transient_sharded(
         if use_fc
         else table_maybe_singular(table)
     )
+    from orc_tpu.solver.simple import _pallas_asm_spec
+
+    pallas_asm = (
+        _pallas_asm_spec(
+            mesh, table, settings, ck=use_ck or None, fc=use_fc,
+            transient=True,
+        )
+        if use_ck and partition.local_mesh.neighbor_offsets is not None
+        else None
+    )
     chunk = n_steps if report_interval <= 0 else min(report_interval, n_steps)
 
     def make_run(k):
@@ -621,6 +646,7 @@ def solve_transient_sharded(
             use_ck=bool(use_ck), n_zones=len(table.zone_ids),
             mg_hierarchy=mg_h, maybe_singular=maybe_singular,
             use_fc=use_fc, transient=(dt, inner_iterations),
+            pallas_asm=pallas_asm,
         )
 
     run = make_run(chunk)

@@ -573,16 +573,22 @@ def ck_simple_step_fc(
     flux = state.flux  # [C,K] conservative from the previous correction
     active = ck.mask.any(axis=1)
 
-    vel_nbr = nbr_values(mesh, vel, ck.interior)
     lsq = (
         settings.gradient_reconstruction
         == GradientReconstruction.LEAST_SQUARES
+    )
+    # The fused-kernel branch shifts neighbor values inside VMEM —
+    # never materialize the [C,K(,3)] neighbor tables there.
+    vel_nbr = (
+        None if pallas_asm is not None
+        else nbr_values(mesh, vel, ck.interior)
     )
     grad_p = grad_p_nbr = None
     if _needs_grad_p(settings):
         gp_fn = ck_lsq_pressure_gradient if lsq else ck_pressure_gradient
         grad_p = comm.refresh(gp_fn(mesh, ck, bc, p))
-        grad_p_nbr = nbr_values(mesh, grad_p, ck.interior)
+        if pallas_asm is None:
+            grad_p_nbr = nbr_values(mesh, grad_p, ck.interior)
     gv_fn = ck_lsq_velocity_gradient if lsq else ck_velocity_gradient
     grad_v = (
         comm.refresh(gv_fn(mesh, ck, bc, vel, vel_nbr=vel_nbr))
@@ -595,33 +601,41 @@ def ck_simple_step_fc(
         # Fused SIMPLE_FC momentum assembly (ops/pallas_assembly.py):
         # the stored conservative flux rides into the kernel as a
         # blocked [C,K] input; no other [C,K] intermediate touches HBM.
-        if inertia is not None:
-            raise NotImplementedError(
-                "the fused assembly kernels do not implement the "
-                "transient inertia term; pass pallas_asm=None for "
-                "time-marching runs (solve_transient already does)"
-            )
         from orc_tpu.ops.pallas_assembly import (
             bc_value_table,
             fc_momentum_assembly,
             pack_flags,
         )
 
-        cols, interp = pallas_asm
+        cols, aspec, interp = pallas_asm
         flags = pack_flags(ck.interior, ck.mask)
         bcv = bc_value_table(zone_scalar, zone_vector)
         mdiag, moff, b3 = fc_momentum_assembly(
             vel, p, flux, bcv, flags, cols, rho, mu,
-            settings.momentum_relaxation, interpret=interp,
+            settings.momentum_relaxation,
+            grad_p=grad_p, grad_vel=grad_v, inertia=inertia,
+            spec=aspec, interpret=interp,
         )
+        if settings.momentum_source is not None:
+            from orc_tpu.ops.fields import momentum_source_term
+
+            src = momentum_source_term(
+                settings.momentum_source,
+                mesh.cell_centroid,
+                mesh.cell_volume,
+            )
+            b3 = b3 + jnp.where(
+                active[None, :], jnp.moveaxis(src, -1, 0), 0.0
+            )
         A3 = EllMatrix(
             diag=mdiag, off=moff, neighbors=None,
             offsets=mesh.neighbor_offsets,
         )
+        rvdt = inertia[0] if inertia is not None else 0.0
         safe_dd = jnp.where(active, diff_diag, 1.0)
         pe = jnp.where(
             active[:, None],
-            ((settings.momentum_relaxation * mdiag - diff_diag)
+            ((settings.momentum_relaxation * mdiag - diff_diag - rvdt)
              / safe_dd)[:, None]
             * jnp.ones((1, 3), mdiag.dtype),
             0.0,
@@ -669,10 +683,9 @@ def ck_simple_step_fc(
     if pallas_asm is not None:
         from orc_tpu.ops.pallas_assembly import fc_pc_assembly
 
-        cols, interp = pallas_asm
         pdiag, poff, b_p, flux_h = fc_pc_assembly(
-            new_vel, new_mom_diag[:, 0], mesh.cell_volume[0], bcv,
-            flags, cols, rho, interpret=interp,
+            new_vel, new_mom_diag[:, 0], bcv, flags, cols, rho,
+            grad_p=grad_p, spec=aspec, interpret=interp,
         )
         Pmat = EllMatrix(
             diag=pdiag, off=poff, neighbors=None,

@@ -459,7 +459,6 @@ def ck_simple_step(
     mom_diag = comm.refresh(state.mom_diag)
     active = ck.mask.any(axis=1)
 
-    vel_nbr = nbr_values(mesh, vel, ck.interior)
     need_gp = _needs_grad_p(settings)
     from orc_tpu.ops.ck_ops import (
         ck_lsq_pressure_gradient,
@@ -471,11 +470,18 @@ def ck_simple_step(
         settings.gradient_reconstruction
         == GradientReconstruction.LEAST_SQUARES
     )
+    # The fused-kernel branch shifts neighbor values inside VMEM —
+    # never materialize the [C,K(,3)] neighbor tables there.
+    vel_nbr = (
+        None if pallas_asm is not None
+        else nbr_values(mesh, vel, ck.interior)
+    )
     grad_p = grad_p_nbr = None
     if need_gp:
         gp_fn = ck_lsq_pressure_gradient if lsq else ck_pressure_gradient
         grad_p = comm.refresh(gp_fn(mesh, ck, bc, p))
-        grad_p_nbr = nbr_values(mesh, grad_p, ck.interior)
+        if pallas_asm is None:
+            grad_p_nbr = nbr_values(mesh, grad_p, ck.interior)
     gv_fn = ck_lsq_velocity_gradient if lsq else ck_velocity_gradient
     grad_v = (
         comm.refresh(gv_fn(mesh, ck, bc, vel, vel_nbr=vel_nbr))
@@ -483,40 +489,50 @@ def ck_simple_step(
         in (MomentumScheme.TVD, MomentumScheme.TVD_DC, MomentumScheme.CD2)
         else None
     )
-    mom_diag_nbr = nbr_values(mesh, mom_diag, ck.interior)
+    mom_diag_nbr = (
+        None if pallas_asm is not None
+        else nbr_values(mesh, mom_diag, ck.interior)
+    )
 
     if pallas_asm is not None:
         # Fused assembly kernels (ops/pallas_assembly.py): one pass over
         # the cell fields produces the shared momentum matrix + RHS; no
         # [C,K] intermediates touch HBM.
-        if inertia is not None:
-            raise NotImplementedError(
-                "the fused assembly kernels do not implement the "
-                "transient inertia term; pass pallas_asm=None for "
-                "time-marching runs (solve_transient already does)"
-            )
         from orc_tpu.ops.pallas_assembly import (
             bc_value_table,
             momentum_assembly,
+            pack_flags,
         )
 
-        cols, interp = pallas_asm
-        from orc_tpu.ops.pallas_assembly import pack_flags
-
+        cols, aspec, interp = pallas_asm
         flags = pack_flags(ck.interior, ck.mask)
         bcv = bc_value_table(zone_scalar, zone_vector)
         mdiag, moff, b3 = momentum_assembly(
             vel, p, bcv, flags, cols, rho, mu,
-            settings.momentum_relaxation, interpret=interp,
+            settings.momentum_relaxation,
+            grad_p=grad_p, mom_diag=mom_diag[:, 0], grad_vel=grad_v,
+            inertia=inertia, spec=aspec, interpret=interp,
         )
+        if settings.momentum_source is not None:
+            from orc_tpu.ops.fields import momentum_source_term
+
+            src = momentum_source_term(
+                settings.momentum_source,
+                mesh.cell_centroid,
+                mesh.cell_volume,
+            )
+            b3 = b3 + jnp.where(
+                active[None, :], jnp.moveaxis(src, -1, 0), 0.0
+            )
         A3 = EllMatrix(
             diag=mdiag, off=moff, neighbors=None,
             offsets=mesh.neighbor_offsets,
         )
+        rvdt = inertia[0] if inertia is not None else 0.0
         safe_dd = jnp.where(active, diff_diag, 1.0)
         pe = jnp.where(
             active[:, None],
-            ((settings.momentum_relaxation * mdiag - diff_diag)
+            ((settings.momentum_relaxation * mdiag - diff_diag - rvdt)
              / safe_dd)[:, None]
             * jnp.ones((1, 3), mdiag.dtype),
             0.0,
@@ -569,12 +585,9 @@ def ck_simple_step(
     if pallas_asm is not None:
         from orc_tpu.ops.pallas_assembly import pc_assembly
 
-        cols, interp = pallas_asm
-        from orc_tpu.ops.pallas_assembly import pack_flags
-
         pdiag, poff, b_p = pc_assembly(
-            new_vel, new_mom_diag[:, 0], pack_flags(ck.interior, ck.mask),
-            cols, rho, interpret=interp,
+            new_vel, new_mom_diag[:, 0], bcv, flags, cols, rho,
+            p=p, grad_p=grad_p, spec=aspec, interpret=interp,
         )
         Pmat = EllMatrix(
             diag=pdiag, off=poff, neighbors=None,
@@ -779,41 +792,77 @@ def _make_chunk_runner(
     return run
 
 
-def _pallas_asm_spec(mesh, table, settings, ck):
-    """Static (cols, dims, interpret) for the fused assembly kernels
+def _pallas_asm_spec(mesh, table, settings, ck, fc=False, transient=False):
+    """Static (cols, AsmSpec, interpret) for the fused assembly kernels
     when the configuration is eligible (ops/pallas_assembly.py), else
     None. Opt out with ORC_TPU_PALLAS_ASM=0; ORC_TPU_PALLAS_ASM=force
-    enables the interpreter path on CPU (tests)."""
+    enables the interpreter path on CPU (tests / the virtual-mesh
+    dryrun). Covers the shared-matrix momentum schemes (UD / CD1 /
+    TVD_DC), Linear[Weighted] AND Rhie-Chow face velocities,
+    Linear[Weighted] AND SecondOrder face pressures, the transient
+    inertia term, and momentum sources (added in XLA after the
+    kernel)."""
     mode = os.environ.get("ORC_TPU_PALLAS_ASM", "1")
     if (
         mode == "0"
         or ck is None
         or mesh.ck_constants is None
         or mesh.dtype != jnp.float32
-        or settings.momentum != MomentumScheme.UD
-        or settings.velocity_interpolation
-        not in (
-            VelocityInterpolation.LINEAR,
-            VelocityInterpolation.LINEAR_WEIGHTED,
-        )
-        or settings.pressure_interpolation
-        not in (
-            PressureInterpolation.LINEAR,
-            PressureInterpolation.LINEAR_WEIGHTED,
-        )
         or settings.relaxation_mode != RelaxationMode.IMPLICIT
-        or settings.momentum_source is not None
     ):
+        return None
+    scheme = {
+        MomentumScheme.UD: "ud",
+        MomentumScheme.CD1: "cd1",
+        MomentumScheme.TVD_DC: "tvd_dc",
+    }.get(settings.momentum)
+    if scheme is None:
+        return None
+    if scheme == "tvd_dc" and settings.tvd_psi is None:
+        return None
+    vi = settings.velocity_interpolation
+    if vi == VelocityInterpolation.RHIE_CHOW:
+        rc = True
+    elif vi in (
+        VelocityInterpolation.LINEAR,
+        VelocityInterpolation.LINEAR_WEIGHTED,
+    ):
+        rc = False
+    else:
+        return None
+    pi = settings.pressure_interpolation
+    if pi == PressureInterpolation.SECOND_ORDER:
+        p_so = True
+    elif pi in (
+        PressureInterpolation.LINEAR,
+        PressureInterpolation.LINEAR_WEIGHTED,
+    ):
+        p_so = False
+    else:
         return None
     on_cpu = jax.default_backend() == "cpu"
     if on_cpu and mode != "force":
         return None
-    from orc_tpu.ops.pallas_assembly import column_specs
+    from orc_tpu.ops.pallas_assembly import (
+        VMEM_BUDGET_BYTES,
+        AsmSpec,
+        column_specs,
+        vmem_estimate,
+    )
 
     cols = column_specs(mesh, table)
     if cols is None:
         return None
-    return (cols, on_cpu)
+    spec = AsmSpec(
+        scheme=scheme,
+        rc=rc,
+        p_so=p_so,
+        psi=settings.tvd_psi if scheme == "tvd_dc" else None,
+        vol=float(mesh.cell_volume[0]),
+    )
+    if vmem_estimate(cols, spec, fc, transient) > VMEM_BUDGET_BYTES:
+        return None
+    return (cols, spec, on_cpu)
 
 
 def solve_steady(
@@ -926,7 +975,7 @@ def solve_steady(
                 flux=initial_flux(mesh, zc, zs, zv, settings, state),
             )
 
-    pallas_asm = _pallas_asm_spec(mesh, table, settings, ck)
+    pallas_asm = _pallas_asm_spec(mesh, table, settings, ck, fc=use_fc)
     maybe_singular = (
         not table_has_pressure_bc(table)
         if use_fc

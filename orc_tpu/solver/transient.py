@@ -88,6 +88,11 @@ def solve_transient(
         ck_diff = ck_diffusion(
             mesh, ck, ck_bc(ck, zc, zs, zv), jnp.asarray(mu, mesh.dtype)
         )
+    from orc_tpu.solver.simple import _pallas_asm_spec
+
+    pallas_asm = _pallas_asm_spec(
+        mesh, table, settings, ck, fc=use_fc, transient=True
+    )
 
     solver_extras = {}
     if settings.matrix_solver.solver_type == SolutionMethod.GAUSS_SEIDEL:
@@ -140,6 +145,7 @@ def solve_transient(
                         return ck_simple_step_fc(
                             mesh, ck, zc, zs, zv, settings, rho, mu,
                             ck_diff, si, solver_extras, inertia=inertia,
+                            pallas_asm=pallas_asm,
                             maybe_singular=maybe_singular,
                         )
                     from orc_tpu.solver.fc import simple_step_fc
@@ -153,6 +159,7 @@ def solve_transient(
                     return ck_simple_step(
                         mesh, ck, zc, zs, zv, settings, rho, mu, ck_diff,
                         si, solver_extras, inertia=inertia,
+                        pallas_asm=pallas_asm,
                         maybe_singular=maybe_singular,
                     )
                 return simple_step(

@@ -65,9 +65,11 @@ from orc_tpu.ops.pallas_assembly import column_specs
 
 # _pallas_asm_spec would gate off on the cpu backend; build the real
 # (non-interpret) spec directly — we only LOWER for tpu, never run.
+from orc_tpu.ops.pallas_assembly import AsmSpec
+
 cols = column_specs(mesh, table)
 assert cols is not None, "expected a pallas-eligible uniform box"
-spec = (cols, False)
+spec = (cols, AsmSpec(vol=float(mesh.cell_volume[0])), False)
 
 run = _make_chunk_runner(mesh, settings, None, 10, {}, ck=ck, ck_diff=ck_diff, pallas_asm=spec, maybe_singular=False)
 # rho / mu as python floats exactly as solve_steady passes them (weak

@@ -1,6 +1,11 @@
-"""Fused momentum-assembly kernel vs the ck reference implementation
+"""Fused assembly kernels vs the ck reference implementation
 (interpret mode — runs on CPU; the TPU path is byte-for-byte the same
-kernel compiled by Mosaic)."""
+kernel compiled by Mosaic).
+
+Covers the full round-4 scheme window: UD / CD1 / TVD_DC momentum,
+Linear[Weighted] / Rhie-Chow face velocities, Linear[Weighted] /
+SecondOrder face pressures, velocity-inlet columns, the transient
+inertia term, SIMPLE_FC, and the sharded runtime."""
 
 import numpy as np
 import pytest
@@ -17,42 +22,26 @@ from orc_tpu.ops.ck_ops import (
     ck_face_pressure,
     ck_flux,
     ck_momentum,
+    ck_pressure_gradient,
+    ck_velocity_gradient,
     nbr_values,
 )
 from orc_tpu.ops.fields import device_bc
-from orc_tpu.ops.pallas_assembly import column_specs, momentum_assembly
+from orc_tpu.ops.pallas_assembly import (
+    AsmSpec,
+    bc_value_table,
+    column_specs,
+    momentum_assembly,
+    pack_flags,
+)
 from orc_tpu.utils.settings import (
     MomentumScheme,
     NumericalSettings,
     PressureInterpolation,
     RelaxationMode,
     VelocityInterpolation,
+    tvd_umist,
 )
-
-
-def _reference(mesh, table, settings, vel, p, rho, mu):
-    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
-    ck = build_ck_geometry(mesh, len(table.zone_ids))
-    bc = ck_bc(ck, zc, zs, zv)
-    diff3 = ck_diffusion(mesh, ck, bc, jnp.asarray(mu, mesh.dtype))
-    vel_nbr = nbr_values(mesh, vel, ck.interior)
-    flux = ck_flux(
-        mesh, ck, bc, vel, settings.velocity_interpolation, p=p,
-        vel_nbr=vel_nbr,
-    )
-    F = flux * ck.area * rho
-    p_f = ck_face_pressure(
-        mesh, ck, bc, p, settings.pressure_interpolation
-    )
-    return ck_momentum(
-        mesh, ck, bc, settings, rho, vel, F, p_f, *diff3
-    )
-
-
-CASES = {
-    "cavity": lambda: cavity_case(n=20, dtype=jnp.float32),
-    "cavity3d": lambda: cavity_case(n=8, nz=8, dtype=jnp.float32),
-}
 
 
 def _couette():
@@ -67,46 +56,165 @@ def _couette():
     return mesh, table
 
 
-CASES["couette"] = _couette
+def _vinlet_channel():
+    mesh, table = structured_box_mesh(
+        16, 8, 1, lengths=(0.002, 0.001, 0.0001), dtype=jnp.float32
+    )
+    table.set(
+        "INLET", FaceCondition.VELOCITY_INLET, vector_value=(1e-3, 0, 0)
+    )
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+    return mesh, table
 
 
-@pytest.mark.parametrize("name", sorted(CASES))
-def test_momentum_assembly_matches_ck(name):
-    mesh, table = CASES[name]()
-    assert mesh.ck_constants is not None
-    settings = NumericalSettings(
-        momentum=MomentumScheme.UD,
-        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
-        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+CASES = {
+    "cavity": lambda: cavity_case(n=20, dtype=jnp.float32),
+    "cavity3d": lambda: cavity_case(n=8, nz=8, dtype=jnp.float32),
+    "couette": _couette,
+    "vinlet": _vinlet_channel,
+}
+
+# (momentum scheme, velocity interp, pressure interp) windows the
+# kernels cover; "default" is the reference's own default scheme set
+# (lib.rs:58-74).
+SCHEMES = {
+    "ud-linear": (
+        MomentumScheme.UD,
+        VelocityInterpolation.LINEAR_WEIGHTED,
+        PressureInterpolation.LINEAR_WEIGHTED,
+    ),
+    "default": (
+        MomentumScheme.CD1,
+        VelocityInterpolation.RHIE_CHOW,
+        PressureInterpolation.SECOND_ORDER,
+    ),
+    "tvd_dc-rc": (
+        MomentumScheme.TVD_DC,
+        VelocityInterpolation.RHIE_CHOW,
+        PressureInterpolation.LINEAR_WEIGHTED,
+    ),
+    "ud-so": (
+        MomentumScheme.UD,
+        VelocityInterpolation.LINEAR_WEIGHTED,
+        PressureInterpolation.SECOND_ORDER,
+    ),
+}
+
+
+def _settings(key):
+    mom, vi, pi = SCHEMES[key]
+    return NumericalSettings(
+        momentum=mom,
+        tvd_psi=tvd_umist if mom == MomentumScheme.TVD_DC else None,
+        pressure_interpolation=pi,
+        velocity_interpolation=vi,
         momentum_relaxation=0.7,
         relaxation_mode=RelaxationMode.IMPLICIT,
     )
-    rho, mu = 1.0, 1e-3
-    rng = np.random.default_rng(3)
+
+
+def _spec_for(mesh, settings):
+    mom, vi, pi = (
+        settings.momentum,
+        settings.velocity_interpolation,
+        settings.pressure_interpolation,
+    )
+    return AsmSpec(
+        scheme={
+            MomentumScheme.UD: "ud",
+            MomentumScheme.CD1: "cd1",
+            MomentumScheme.TVD_DC: "tvd_dc",
+        }[mom],
+        rc=vi == VelocityInterpolation.RHIE_CHOW,
+        p_so=pi == PressureInterpolation.SECOND_ORDER,
+        psi=settings.tvd_psi,
+        vol=float(mesh.cell_volume[0]),
+    )
+
+
+def _fields(mesh, seed=3):
+    rng = np.random.default_rng(seed)
     C = mesh.n_cells
     vel = jnp.asarray(rng.standard_normal((C, 3)) * 0.1, jnp.float32)
     p = jnp.asarray(rng.standard_normal(C) * 0.05, jnp.float32)
+    md = jnp.asarray(rng.uniform(0.5, 2.0, C), jnp.float32)
+    return vel, p, md
 
-    A_ref, b_ref, _pe = _reference(mesh, table, settings, vel, p, rho, mu)
-    assert A_ref.diag.ndim == 1  # shared-matrix form
 
+def _ck_reference(mesh, table, settings, vel, p, md, rho, mu, inertia=None):
+    """The XLA ck path's momentum system — exactly what ck_simple_step
+    assembles (gradients from the iteration-start fields)."""
+    zc, zs, zv = device_bc(table, dtype=mesh.dtype)
+    ck = build_ck_geometry(mesh, len(table.zone_ids))
+    bc = ck_bc(ck, zc, zs, zv)
+    diff3 = ck_diffusion(mesh, ck, bc, jnp.asarray(mu, mesh.dtype))
+    md3 = md[:, None] * jnp.ones((1, 3), md.dtype)
+    need_gp = (
+        settings.velocity_interpolation == VelocityInterpolation.RHIE_CHOW
+        or settings.pressure_interpolation
+        == PressureInterpolation.SECOND_ORDER
+    )
+    grad_p = grad_p_nbr = None
+    if need_gp:
+        grad_p = ck_pressure_gradient(mesh, ck, bc, p)
+        grad_p_nbr = nbr_values(mesh, grad_p, ck.interior)
+    grad_v = (
+        ck_velocity_gradient(mesh, ck, bc, vel)
+        if settings.momentum == MomentumScheme.TVD_DC
+        else None
+    )
+    flux = ck_flux(
+        mesh, ck, bc, vel, settings.velocity_interpolation, p=p,
+        grad_p=grad_p, grad_p_nbr=grad_p_nbr, mom_diag=md3,
+    )
+    F = flux * ck.area * rho
+    p_f = ck_face_pressure(
+        mesh, ck, bc, p, settings.pressure_interpolation,
+        grad_p=grad_p, grad_p_nbr=grad_p_nbr,
+    )
+    A, b, pe = ck_momentum(
+        mesh, ck, bc, settings, rho, vel, F, p_f, *diff3,
+        grad_vel=grad_v, inertia=inertia,
+    )
+    return A, b, (ck, bc, grad_p, grad_v)
+
+
+def _kernel_inputs(mesh, table):
+    zc, zs, zv = device_bc(table, dtype=jnp.float32)
+    ck = build_ck_geometry(mesh, len(table.zone_ids))
     cols = column_specs(mesh, table)
     assert cols is not None
-    from orc_tpu.ops.pallas_assembly import bc_value_table, pack_flags
-
-    zc, zs, zv = device_bc(table, dtype=jnp.float32)
+    flags = pack_flags(ck.interior, ck.mask)
     bcv = bc_value_table(zs, zv)
-    ck_g = build_ck_geometry(mesh, len(table.zone_ids))
-    flags = pack_flags(ck_g.interior, ck_g.mask)
+    return ck, cols, flags, bcv
+
+
+@pytest.mark.parametrize("scheme", sorted(SCHEMES))
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_momentum_assembly_matches_ck(name, scheme):
+    mesh, table = CASES[name]()
+    assert mesh.ck_constants is not None
+    settings = _settings(scheme)
+    rho, mu = 1.0, 1e-3
+    vel, p, md = _fields(mesh)
+
+    A_ref, b_ref, (ck, bc, grad_p, grad_v) = _ck_reference(
+        mesh, table, settings, vel, p, md, rho, mu
+    )
+    assert A_ref.diag.ndim == 1  # shared-matrix form
+
+    _, cols, flags, bcv = _kernel_inputs(mesh, table)
+    spec = _spec_for(mesh, settings)
     diag, off, b3 = momentum_assembly(
-        vel, p, bcv, flags, cols, rho, mu, 0.7, interpret=True
+        vel, p, bcv, flags, cols, rho, mu, 0.7,
+        grad_p=grad_p, mom_diag=md, grad_vel=grad_v,
+        spec=spec, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(diag), np.asarray(A_ref.diag), rtol=2e-5, atol=1e-7
     )
-    # Column ORDER may differ between the kernel (ck_constants order)
-    # and the assembled matrix; both use mesh.neighbor_offsets order —
-    # identical by construction.
     np.testing.assert_allclose(
         np.asarray(off), np.asarray(A_ref.off), rtol=2e-5, atol=1e-7
     )
@@ -115,36 +223,71 @@ def test_momentum_assembly_matches_ck(name):
     )
 
 
+@pytest.mark.parametrize("name", ["cavity", "cavity3d"])
+def test_momentum_assembly_inertia(name):
+    """Transient inertia term: kernel == ck with
+    inertia=(rho V/dt, vel^n)."""
+    mesh, table = CASES[name]()
+    settings = _settings("default")
+    rho, mu = 1.0, 1e-3
+    vel, p, md = _fields(mesh, seed=5)
+    rng = np.random.default_rng(6)
+    C = mesh.n_cells
+    vel_n = jnp.asarray(rng.standard_normal((C, 3)) * 0.1, jnp.float32)
+    rv_dt = rho * mesh.cell_volume / jnp.asarray(0.01, jnp.float32)
+    inertia = (rv_dt, vel_n)
+
+    A_ref, b_ref, (ck, bc, grad_p, grad_v) = _ck_reference(
+        mesh, table, settings, vel, p, md, rho, mu, inertia=inertia
+    )
+    _, cols, flags, bcv = _kernel_inputs(mesh, table)
+    spec = _spec_for(mesh, settings)
+    diag, off, b3 = momentum_assembly(
+        vel, p, bcv, flags, cols, rho, mu, 0.7,
+        grad_p=grad_p, mom_diag=md, grad_vel=grad_v, inertia=inertia,
+        spec=spec, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(diag), np.asarray(A_ref.diag), rtol=2e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(b3), np.asarray(b_ref), rtol=2e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("scheme", ["ud-linear", "default"])
 @pytest.mark.parametrize("name", sorted(CASES))
-def test_pc_assembly_matches_ck(name):
+def test_pc_assembly_matches_ck(name, scheme):
     from orc_tpu.ops.ck_ops import ck_pressure_correction
     from orc_tpu.ops.pallas_assembly import pc_assembly
-    from orc_tpu.solver.gmg import infer_box_dims
 
     mesh, table = CASES[name]()
+    settings = _settings(scheme)
     rho = 1.0
-    rng = np.random.default_rng(7)
-    C = mesh.n_cells
-    vel = jnp.asarray(rng.standard_normal((C, 3)) * 0.1, jnp.float32)
-    md = jnp.asarray(rng.uniform(0.5, 2.0, C), jnp.float32)
+    vel, p, md = _fields(mesh, seed=7)
 
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     ck = build_ck_geometry(mesh, len(table.zone_ids))
     bc = ck_bc(ck, zc, zs, zv)
-    vel_nbr = nbr_values(mesh, vel, ck.interior)
+    md3 = md[:, None] * jnp.ones((1, 3), md.dtype)
+    rc = (
+        settings.velocity_interpolation == VelocityInterpolation.RHIE_CHOW
+    )
+    grad_p = ck_pressure_gradient(mesh, ck, bc, p) if rc else None
+    gp_nbr = nbr_values(mesh, grad_p, ck.interior) if rc else None
     flux = ck_flux(
-        mesh, ck, bc, vel, VelocityInterpolation.LINEAR_WEIGHTED,
-        vel_nbr=vel_nbr,
+        mesh, ck, bc, vel, settings.velocity_interpolation,
+        p=p, grad_p=grad_p, grad_p_nbr=gp_nbr, mom_diag=md3,
     )
     F2 = flux * ck.area * rho
-    md3 = md[:, None] * jnp.ones((1, 3), md.dtype)
     A_ref, b_ref = ck_pressure_correction(mesh, ck, bc, rho, F2, md3)
 
-    from orc_tpu.ops.pallas_assembly import pack_flags
-
-    cols = column_specs(mesh, table)
-    flags = pack_flags(ck.interior, ck.mask)
-    diag, off, b = pc_assembly(vel, md, flags, cols, rho, interpret=True)
+    _, cols, flags, bcv = _kernel_inputs(mesh, table)
+    spec = _spec_for(mesh, settings)
+    diag, off, b = pc_assembly(
+        vel, md, bcv, flags, cols, rho,
+        p=p, grad_p=grad_p, spec=spec, interpret=True,
+    )
     np.testing.assert_allclose(
         np.asarray(diag), np.asarray(A_ref.diag), rtol=2e-5, atol=1e-6
     )
@@ -156,72 +299,19 @@ def test_pc_assembly_matches_ck(name):
     )
 
 
-def test_solve_steady_with_fused_assembly(monkeypatch):
-    """End-to-end SIMPLE with the fused kernels (interpreter mode via
-    ORC_TPU_PALLAS_ASM=force) matches the stock ck path."""
-    from orc_tpu.solver.simple import initial_state, solve_steady
-    from orc_tpu.utils.settings import (
-        MatrixSolverSettings,
-        PreconditionMethod,
-        RelaxationMode,
-        SolutionMethod,
-    )
-
-    mesh, table = cavity_case(n=16, dtype=jnp.float32)
-    settings = NumericalSettings(
-        momentum=MomentumScheme.UD,
-        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
-        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
-        pressure_relaxation=0.1,
-        momentum_relaxation=0.7,
-        relaxation_mode=RelaxationMode.IMPLICIT,
-        matrix_solver=MatrixSolverSettings(
-            solver_type=SolutionMethod.BICGSTAB,
-            iterations=25,
-            preconditioner=PreconditionMethod.JACOBI,
-        ),
-    )
-    kw = dict(
-        state=initial_state(mesh), iterations=40, reporting_interval=40,
-        verbose=False,
-    )
-
-    monkeypatch.setenv("ORC_TPU_PALLAS_ASM", "0")
-    ref, _ = solve_steady(mesh, table, settings, 1.0, 0.01, **kw)
-    monkeypatch.setenv("ORC_TPU_PALLAS_ASM", "force")
-    kw["state"] = initial_state(mesh)
-    fused, _ = solve_steady(mesh, table, settings, 1.0, 0.01, **kw)
-    np.testing.assert_allclose(
-        np.asarray(fused.vel), np.asarray(ref.vel), rtol=2e-4, atol=2e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(fused.p), np.asarray(ref.p), rtol=2e-4, atol=2e-5
-    )
-
-
-@pytest.mark.parametrize("name", sorted(CASES))
-def test_fc_momentum_assembly_matches_ck(name):
+@pytest.mark.parametrize("scheme", ["ud-linear", "default", "tvd_dc-rc"])
+@pytest.mark.parametrize("name", ["cavity", "cavity3d", "vinlet"])
+def test_fc_momentum_assembly_matches_ck(name, scheme):
     """SIMPLE_FC fused momentum kernel vs ck_momentum fed with a stored
     [C,K] flux (solver/fc.py's momentum call)."""
-    from orc_tpu.ops.pallas_assembly import (
-        bc_value_table,
-        fc_momentum_assembly,
-        pack_flags,
-    )
+    from orc_tpu.ops.pallas_assembly import fc_momentum_assembly
 
     mesh, table = CASES[name]()
-    settings = NumericalSettings(
-        momentum=MomentumScheme.UD,
-        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
-        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
-        momentum_relaxation=0.7,
-        relaxation_mode=RelaxationMode.IMPLICIT,
-    )
+    settings = _settings(scheme)
     rho, mu = 1.0, 1e-3
-    rng = np.random.default_rng(11)
+    vel, p, md = _fields(mesh, seed=11)
+    rng = np.random.default_rng(12)
     C = mesh.n_cells
-    vel = jnp.asarray(rng.standard_normal((C, 3)) * 0.1, jnp.float32)
-    p = jnp.asarray(rng.standard_normal(C) * 0.05, jnp.float32)
 
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     ck = build_ck_geometry(mesh, len(table.zone_ids))
@@ -235,19 +325,40 @@ def test_fc_momentum_assembly_matches_ck(name):
         mesh, ck, bc, vel2, VelocityInterpolation.LINEAR_WEIGHTED,
     )
     F = flux * ck.area * rho
+    need_gp = (
+        settings.pressure_interpolation
+        == PressureInterpolation.SECOND_ORDER
+    )
+    grad_p = (
+        ck_pressure_gradient(mesh, ck, bc, p)
+        if need_gp or settings.velocity_interpolation
+        == VelocityInterpolation.RHIE_CHOW
+        else None
+    )
+    gp_nbr = (
+        nbr_values(mesh, grad_p, ck.interior)
+        if grad_p is not None
+        else None
+    )
+    grad_v = (
+        ck_velocity_gradient(mesh, ck, bc, vel)
+        if settings.momentum == MomentumScheme.TVD_DC
+        else None
+    )
     p_f = ck_face_pressure(
-        mesh, ck, bc, p, PressureInterpolation.LINEAR_WEIGHTED
+        mesh, ck, bc, p, settings.pressure_interpolation,
+        grad_p=grad_p, grad_p_nbr=gp_nbr,
     )
     A_ref, b_ref, _pe = ck_momentum(
-        mesh, ck, bc, settings, rho, vel, F, p_f, *diff3
+        mesh, ck, bc, settings, rho, vel, F, p_f, *diff3, grad_vel=grad_v
     )
     assert A_ref.diag.ndim == 1
 
-    cols = column_specs(mesh, table)
-    bcv = bc_value_table(zs, zv)
-    flags = pack_flags(ck.interior, ck.mask)
+    _, cols, flags, bcv = _kernel_inputs(mesh, table)
+    spec = _spec_for(mesh, settings)
     diag, off, b3 = fc_momentum_assembly(
-        vel, p, flux, bcv, flags, cols, rho, mu, 0.7, interpret=True
+        vel, p, flux, bcv, flags, cols, rho, mu, 0.7,
+        grad_p=grad_p, grad_vel=grad_v, spec=spec, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(diag), np.asarray(A_ref.diag), rtol=2e-5, atol=1e-7
@@ -260,15 +371,12 @@ def test_fc_momentum_assembly_matches_ck(name):
     )
 
 
-@pytest.mark.parametrize("name", sorted(CASES))
-def test_fc_pc_assembly_matches_ck(name):
+@pytest.mark.parametrize("scheme", ["ud-linear", "default"])
+@pytest.mark.parametrize("name", ["cavity", "cavity3d", "vinlet"])
+def test_fc_pc_assembly_matches_ck(name, scheme):
     """SIMPLE_FC fused full-p assembly vs ck_flux_h + ck_d_coeffs +
     ck_fc_pressure_system."""
-    from orc_tpu.ops.pallas_assembly import (
-        bc_value_table,
-        fc_pc_assembly,
-        pack_flags,
-    )
+    from orc_tpu.ops.pallas_assembly import fc_pc_assembly
     from orc_tpu.solver.fc import (
         ck_d_coeffs,
         ck_fc_pressure_system,
@@ -276,28 +384,30 @@ def test_fc_pc_assembly_matches_ck(name):
     )
 
     mesh, table = CASES[name]()
+    settings = _settings(scheme)
     rho = 1.0
-    rng = np.random.default_rng(13)
-    C = mesh.n_cells
-    vel = jnp.asarray(rng.standard_normal((C, 3)) * 0.1, jnp.float32)
-    md = jnp.asarray(rng.uniform(0.5, 2.0, C), jnp.float32)
+    vel, p, md = _fields(mesh, seed=13)
 
     zc, zs, zv = device_bc(table, dtype=mesh.dtype)
     ck = build_ck_geometry(mesh, len(table.zone_ids))
     bc = ck_bc(ck, zc, zs, zv)
     md3 = md[:, None] * jnp.ones((1, 3), md.dtype)
+    rc = (
+        settings.velocity_interpolation == VelocityInterpolation.RHIE_CHOW
+    )
+    grad_p = ck_pressure_gradient(mesh, ck, bc, p) if rc else None
     fh_ref = ck_flux_h(
-        mesh, ck, bc, vel, VelocityInterpolation.LINEAR_WEIGHTED
+        mesh, ck, bc, vel, settings.velocity_interpolation,
+        p=p, grad_p=grad_p, mom_diag=md3,
     )
     d_ref = ck_d_coeffs(mesh, ck, bc, rho, md3)
     A_ref, b_ref = ck_fc_pressure_system(mesh, ck, bc, rho, fh_ref, d_ref)
 
-    cols = column_specs(mesh, table)
-    bcv = bc_value_table(zs, zv)
-    flags = pack_flags(ck.interior, ck.mask)
+    _, cols, flags, bcv = _kernel_inputs(mesh, table)
+    spec = _spec_for(mesh, settings)
     diag, off, b, fh = fc_pc_assembly(
-        vel, md, mesh.cell_volume[0], bcv, flags, cols, rho,
-        interpret=True,
+        vel, md, bcv, flags, cols, rho,
+        grad_p=grad_p, spec=spec, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(diag), np.asarray(A_ref.diag), rtol=2e-5, atol=1e-6
@@ -315,33 +425,42 @@ def test_fc_pc_assembly_matches_ck(name):
     )
 
 
-def test_solve_steady_fc_with_fused_assembly(monkeypatch):
-    """End-to-end SIMPLE_FC with the fused kernels (interpreter mode)
-    matches the stock FC ck path."""
-    from orc_tpu.solver.simple import initial_state, solve_steady
+def _solver_settings(scheme, fc=False, pr=0.1):
     from orc_tpu.utils.settings import (
         MatrixSolverSettings,
         PreconditionMethod,
         PressureVelocityCoupling,
-        RelaxationMode,
         SolutionMethod,
     )
 
-    mesh, table = cavity_case(n=16, dtype=jnp.float32)
-    settings = NumericalSettings(
-        momentum=MomentumScheme.UD,
-        pressure_velocity_coupling=PressureVelocityCoupling.SIMPLE_FC,
-        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
-        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
-        pressure_relaxation=0.3,
-        momentum_relaxation=0.7,
-        relaxation_mode=RelaxationMode.IMPLICIT,
+    s = _settings(scheme)
+    return s.replace(
+        pressure_relaxation=pr,
+        pressure_velocity_coupling=(
+            PressureVelocityCoupling.SIMPLE_FC
+            if fc
+            else PressureVelocityCoupling.SIMPLE
+        ),
         matrix_solver=MatrixSolverSettings(
             solver_type=SolutionMethod.BICGSTAB,
             iterations=25,
             preconditioner=PreconditionMethod.JACOBI,
         ),
     )
+
+
+@pytest.mark.parametrize(
+    "scheme,fc",
+    [("ud-linear", False), ("default", False), ("tvd_dc-rc", False),
+     ("ud-linear", True), ("default", True)],
+)
+def test_solve_steady_with_fused_assembly(monkeypatch, scheme, fc):
+    """End-to-end SIMPLE[_FC] with the fused kernels (interpreter mode
+    via ORC_TPU_PALLAS_ASM=force) matches the stock ck path."""
+    from orc_tpu.solver.simple import initial_state, solve_steady
+
+    mesh, table = cavity_case(n=16, dtype=jnp.float32)
+    settings = _solver_settings(scheme, fc=fc, pr=0.3 if fc else 0.1)
     kw = dict(
         state=initial_state(mesh), iterations=40, reporting_interval=40,
         verbose=False,
@@ -357,4 +476,80 @@ def test_solve_steady_fc_with_fused_assembly(monkeypatch):
     )
     np.testing.assert_allclose(
         np.asarray(fused.p), np.asarray(ref.p), rtol=2e-4, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("fc", [False, True])
+def test_solve_transient_with_fused_assembly(monkeypatch, fc):
+    """Time marching with the fused kernels (incl. the inertia term)
+    matches the stock ck path."""
+    from orc_tpu.solver.simple import initial_state
+    from orc_tpu.solver.transient import solve_transient
+
+    mesh, table = cavity_case(n=12, dtype=jnp.float32)
+    settings = _solver_settings("default", fc=fc, pr=0.3 if fc else 0.1)
+    kw = dict(
+        dt=0.05, n_steps=4, inner_iterations=6,
+        state=initial_state(mesh), verbose=False,
+    )
+
+    monkeypatch.setenv("ORC_TPU_PALLAS_ASM", "0")
+    ref, _ = solve_transient(mesh, table, settings, 1.0, 0.01, **kw)
+    monkeypatch.setenv("ORC_TPU_PALLAS_ASM", "force")
+    kw["state"] = initial_state(mesh)
+    fused, _ = solve_transient(mesh, table, settings, 1.0, 0.01, **kw)
+    np.testing.assert_allclose(
+        np.asarray(fused.vel), np.asarray(ref.vel), rtol=2e-4, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.p), np.asarray(ref.p), rtol=2e-4, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("fc", [False, True])
+def test_solve_steady_sharded_with_fused_assembly(monkeypatch, fc):
+    """Sharded SIMPLE[_FC] with the fused kernels per device matches the
+    single-device fused run (8 virtual CPU devices, interpret mode)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from orc_tpu.parallel.sharded import solve_steady_sharded
+    from orc_tpu.solver.simple import initial_state, solve_steady
+
+    mesh, table = cavity_case(n=16, dtype=jnp.float32)
+    settings = _solver_settings("default", fc=fc, pr=0.3 if fc else 0.1)
+    # The FC cavity is unanchored: its full-p solve runs constant-mode
+    # DEFLATION, so mid-trajectory f32 rounding (kernel vs XLA, psum vs
+    # serial dots) is amplified through the gauge each iteration —
+    # measured max|dvel| 1.7e-5 at 25 iters shrinking to 7.5e-7 at 120.
+    # Pin the CONVERGED state for FC; the anchored parity loop is pinned
+    # mid-trajectory against the single-device fused run.
+    iters = 120 if fc else 25
+    kw = dict(iterations=iters, reporting_interval=iters, verbose=False)
+
+    monkeypatch.setenv("ORC_TPU_PALLAS_ASM", "force")
+    sharded, _ = solve_steady_sharded(
+        mesh, table, settings, 1.0, 0.01,
+        state=initial_state(mesh), **kw,
+    )
+    if fc:
+        monkeypatch.setenv("ORC_TPU_PALLAS_ASM", "0")
+        ref, _ = solve_steady_sharded(
+            mesh, table, settings, 1.0, 0.01,
+            state=initial_state(mesh), **kw,
+        )
+        tol = dict(rtol=2e-4, atol=5e-6)
+    else:
+        ref, _ = solve_steady(
+            mesh, table, settings, 1.0, 0.01,
+            state=initial_state(mesh), **kw,
+        )
+        tol = dict(rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(sharded.vel), np.asarray(ref.vel), **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.p), np.asarray(ref.p),
+        rtol=tol["rtol"], atol=2e-5 if fc else 1e-6,
     )
