@@ -413,7 +413,7 @@ def solve_steady_sharded(
     )
 
     use_fc = (
-        settings.pressure_velocity_coupling
+        settings.resolved_coupling()
         == PressureVelocityCoupling.SIMPLE_FC
     )
 
@@ -572,7 +572,7 @@ def solve_transient_sharded(
 
     table.validate_supported()
     use_fc = (
-        settings.pressure_velocity_coupling
+        settings.resolved_coupling()
         == PressureVelocityCoupling.SIMPLE_FC
     )
     devices = jax.devices()[: n_devices or len(jax.devices())]

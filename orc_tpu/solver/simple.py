@@ -896,14 +896,9 @@ def solve_steady(
     from orc_tpu.utils.settings import PressureVelocityCoupling
 
     use_fc = (
-        settings.pressure_velocity_coupling
+        settings.resolved_coupling()
         == PressureVelocityCoupling.SIMPLE_FC
     )
-    if use_fc and settings.momentum_source is not None:
-        raise NotImplementedError(
-            "SIMPLE_FC with momentum_source is untested; use SIMPLE"
-        )
-
     ck = ck_diff = None
     # The (c,k)-direct step computes Green-Gauss cell gradients only;
     # LSQ / node-based runs must take the face-major path.

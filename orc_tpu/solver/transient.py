@@ -57,7 +57,7 @@ def solve_transient(
     from orc_tpu.utils.settings import PressureVelocityCoupling
 
     use_fc = (
-        settings.pressure_velocity_coupling
+        settings.resolved_coupling()
         == PressureVelocityCoupling.SIMPLE_FC
     )
     from orc_tpu.solver.simple import (

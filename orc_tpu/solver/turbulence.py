@@ -150,6 +150,7 @@ def ck_scalar_system(
                 else mesh.cell_neighbors
             ),
             offsets=mesh.neighbor_offsets,
+            plan=mesh.slice_plan,
         ),
         b,
     )
@@ -279,7 +280,7 @@ def rans_outer_step(
     from orc_tpu.utils.settings import PressureVelocityCoupling
 
     if (
-        settings.pressure_velocity_coupling
+        settings.resolved_coupling()
         == PressureVelocityCoupling.SIMPLE_FC
     ):
         from orc_tpu.solver.fc import ck_simple_step_fc
@@ -331,7 +332,7 @@ def solve_steady_turbulent(
     from orc_tpu.utils.settings import PressureVelocityCoupling
 
     if (
-        settings.pressure_velocity_coupling
+        settings.resolved_coupling()
         == PressureVelocityCoupling.SIMPLE_FC
         and state.flux is None
     ):
@@ -485,7 +486,7 @@ def solve_steady_turbulent_sharded(
     from orc_tpu.utils.settings import PressureVelocityCoupling
 
     use_fc = (
-        settings.pressure_velocity_coupling
+        settings.resolved_coupling()
         == PressureVelocityCoupling.SIMPLE_FC
     )
     n_zones = len(table.zone_ids)

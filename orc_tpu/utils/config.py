@@ -193,7 +193,7 @@ def parse_case(text: str) -> Case:
         ),
         pressure_velocity_coupling=_enum_of(
             {m.value: m for m in PressureVelocityCoupling},
-            num.get("pressure_velocity_coupling", "simple"),
+            num.get("pressure_velocity_coupling", "auto"),
             "pressure-velocity coupling",
         ),
         gradient_reconstruction=_enum_of(
@@ -362,7 +362,7 @@ momentum = "cd1"                      # ud | cd1 | tvd_lud | tvd_quick | tvd_umi
 pressure_interpolation = "second_order"  # linear | linear_weighted | second_order
 velocity_interpolation = "rhie_chow"  # linear | linear_weighted | rhie_chow
 # pressure_correction_form = "cell_difference"  # cell_difference (reference parity) | face_value (consistent; pair with rhie_chow)
-# pressure_velocity_coupling = "simple"  # simple (reference parity) | simple_fc (conservative stored fluxes; alpha_p ~0.3 with implicit relaxation)
+# pressure_velocity_coupling = "auto"  # auto (DEFAULT: simple_fc under rhie_chow + implicit relaxation, else simple) | simple_fc (conservative stored fluxes; alpha_p ~0.3 with implicit relaxation) | simple (reference parity)
 gradient_reconstruction = "green_gauss_cell"  # green_gauss_cell | green_gauss_node | least_squares
 momentum_relaxation = 0.5
 relaxation_mode = "explicit"         # implicit (Patankar) for enclosed flows

@@ -100,6 +100,56 @@ def test_fc_poiseuille_analytics_high_alpha_p():
             vi, float(h.p_corr_norm[-1]))
 
 
+def test_fc_momentum_source_poiseuille():
+    """SIMPLE_FC + momentum_source through solve_steady (the
+    combination a round-3 guard blocked as untested): a uniform
+    body force G in x replaces the driving pressure gradient of a
+    plane-Poiseuille channel; the machine-converged bulk velocity must
+    track the analytical G*h^2/(12 mu) (12% — the 12-cell discrete
+    solution sits 9.4% below the parabola mean; the parity loop gives
+    the same 0.3776, so it is discretization, not the coupling), the
+    ck and face-major paths must agree tightly, and the stored flux
+    must stay conservative."""
+    G, mu, rho = 5.0, 0.01, 1.0
+    h, L = 0.1, 0.4
+    u_mean_exact = G * h**2 / (12 * mu)
+    mesh, table = structured_box_mesh(
+        24, 12, 1, lengths=(L, h, 0.01 * h)
+    )
+    table.set("TOP_WALL", FaceCondition.WALL)
+    table.set("BOTTOM_WALL", FaceCondition.WALL)
+    table.set("INLET", FaceCondition.PRESSURE_INLET, scalar_value=0.0)
+    table.set("OUTLET", FaceCondition.PRESSURE_OUTLET, scalar_value=0.0)
+    table.set("PERIODIC_-Z", FaceCondition.SYMMETRY)
+    table.set("PERIODIC_+Z", FaceCondition.SYMMETRY)
+
+    def source(cc, vol):
+        s = jnp.zeros_like(cc)
+        return s.at[:, 0].set(G * vol)
+
+    s = _fc_settings(
+        VelocityInterpolation.RHIE_CHOW, momentum_source=source
+    )
+    u_means = {}
+    for use_ck in (True, False):
+        state, hist = solve_steady(
+            mesh, table, s, rho, mu, state=initial_state(mesh),
+            iterations=400, reporting_interval=400, verbose=False,
+            use_ck=use_ck,
+        )
+        u_mean = float(np.asarray(state.vel[:, 0]).mean())
+        u_means[use_ck] = u_mean
+        assert abs(u_mean - u_mean_exact) / u_mean_exact < 0.12, (
+            use_ck, u_mean, u_mean_exact,
+        )
+        assert float(hist[-1].p_corr_norm[-1]) < 1e-10, use_ck
+        div, fa_scale = _flux_divergence(mesh, state.flux)
+        assert np.abs(div).max() < 1e-8 * max(fa_scale, 1e-300), use_ck
+    assert abs(u_means[True] - u_means[False]) < 1e-8 * abs(
+        u_means[False]
+    ), u_means
+
+
 def test_fc_matches_parity_converged_field():
     """FC and the parity loop solve the SAME discrete equations when
     Rhie-Chow closes both (the FC pressure-equation coefficient equals
