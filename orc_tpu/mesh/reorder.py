@@ -66,6 +66,11 @@ class SlicePlan:
     win_rows: int = dataclasses.field(
         default=0, metadata=dict(static=True)
     )
+    #: [ntiles, K, tile] i32 — col_of transposed to the kernel-tile
+    #: layout consumed by the Pallas neighbor-gather kernel
+    #: (ops/pallas_slice.slice_nbr_values). None disables that kernel
+    #: (e.g. AMG coarse plans, which never gather neighbor values).
+    col_tile: "jax.Array | None" = None
 
     @property
     def ntiles(self) -> int:
@@ -213,6 +218,15 @@ def build_slice_plan(
         ).reshape(ngroups, GROUP * n_max)
         win_rows = int((qpad.max(axis=1) - qpad.min(axis=1)).max()) + 2
 
+    # col_of in the kernel-tile layout for the neighbor-gather kernel:
+    # [ntiles, K, tile], rows past C padded with column 0 (their
+    # outputs are dropped / masked by the caller's interior mask).
+    col_pad = np.zeros((ntiles * tile, K), dtype=np.int64)
+    col_pad[:C] = col_of
+    col_tile = np.swapaxes(
+        col_pad.reshape(ntiles, tile, K), 1, 2
+    ).copy()
+
     return SlicePlan(
         starts=jnp.asarray(starts, jnp.int32),
         col_of=jnp.asarray(col_of, jnp.int32),
@@ -222,4 +236,5 @@ def build_slice_plan(
         pad_hi=pad_hi,
         n_cells=C,
         win_rows=win_rows,
+        col_tile=jnp.asarray(col_tile, jnp.int32),
     )

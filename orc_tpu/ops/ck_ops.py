@@ -270,6 +270,28 @@ def nbr_values(mesh: CompiledMesh, x, interior=None):
         own = jnp.expand_dims(x, 1)
         cond = interior.reshape(interior.shape + (1,) * (x.ndim - 1))
         return jnp.where(cond, out, own)
+    plan = mesh.slice_plan
+    import numpy as _np
+
+    from orc_tpu.ops.spmv import slice_nbr_eligible
+
+    if plan is not None and slice_nbr_eligible(
+        plan, x, int(_np.prod(x.shape[1:], dtype=int))
+    ):
+        # Irregular-mesh kernel path: windowed slice gather
+        # (ops/pallas_slice.slice_nbr_values) instead of the TPU
+        # element gather (~50x slower, measured — BASELINE.md).
+        from orc_tpu.ops.pallas_slice import slice_nbr_values
+
+        out = slice_nbr_values(plan, x)
+        if interior is None:
+            interior = (
+                take(mesh.face_interior, mesh.cell_faces)
+                & mesh.cell_face_mask
+            )
+        own = jnp.expand_dims(x, 1)
+        cond = interior.reshape(interior.shape + (1,) * (x.ndim - 1))
+        return jnp.where(cond, out, own)
     return take(x, mesh.cell_neighbors)
 
 
@@ -669,6 +691,7 @@ def ck_pressure_correction(
                 else mesh.cell_neighbors
             ),
             offsets=mesh.neighbor_offsets,
+            plan=mesh.slice_plan,
         ),
         b,
     )

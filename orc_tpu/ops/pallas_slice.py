@@ -55,17 +55,24 @@ def _kernel(n_max, wr, qmin_ref, rel_ref, coef_ref, x_hbm, y_ref):
         dma.start()
         dma.wait()
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        # All scalar arithmetic in EXPLICIT i32: a bare Python `128`
+        # traces as an i64 operand under the package's x64 default,
+        # and Mosaic's i64 convert_element_type lowering recurses
+        # infinitely (RecursionError at compile — seen on v5e).
+        lanes_i = jnp.int32(LANES)
         for t in range(GROUP):
             acc = jnp.zeros((1, LANES), y_ref.dtype)
             for j in range(n_max):
                 rel = rel_ref[t, j]
-                rq = rel // LANES
-                rr = rel % LANES
+                rq = jax.lax.div(rel, lanes_i)
+                rr = jax.lax.rem(rel, lanes_i)
                 pair = win[pl.ds(rq, 2), :]  # rows rq, rq+1
                 # roll left by rr: out[i] = row[(i + rr) mod 128]
-                rolled = pltpu.roll(pair, (LANES - rr) % LANES, axis=1)
+                rolled = pltpu.roll(
+                    pair, jax.lax.rem(lanes_i - rr, lanes_i), axis=1
+                )
                 sl = jnp.where(
-                    lane < LANES - rr, rolled[0:1, :], rolled[1:2, :]
+                    lane < lanes_i - rr, rolled[0:1, :], rolled[1:2, :]
                 )
                 acc = acc + coef_ref[t, j, :].reshape(1, LANES) * sl
             y_ref[t, :] = acc[0]
@@ -128,7 +135,15 @@ def _slice_spmv_pallas(
         out_shape=jax.ShapeDtypeStruct((ntp, LANES), x_padded.dtype),
         grid=(ngroups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # qmin [ngroups]
+            # qmin [ngroups], whole array per step. The index map MUST
+            # be explicit: a mapless SMEM BlockSpec gets Pallas's
+            # default map whose literal 0 traces as i64 under the
+            # package's x64 default, and Mosaic cannot legalize an
+            # i64-returning transform ("failed to legalize func.return
+            # (i64)" at compile on v5e).
+            pl.BlockSpec(
+                (ngroups,), lambda g: (z32(g),), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(
                 (GROUP, n_max),
                 lambda g: (g, z32(g)),
@@ -186,6 +201,160 @@ def _vmappable_kernel(plan, interpret):
         return jnp.stack(outs), True
 
     return y_off
+
+
+def _nbr_kernel(
+    n_max, wr, B, K, qmin_ref, rel_ref, col_ref, x_hbm, out_ref
+):
+    """Neighbor-VALUE variant of `_kernel`: instead of accumulating
+    coef*slice into one output row, it routes each tile's rotated
+    slices to their ELL slots via the per-tile column table.
+
+    col_ref: [GROUP, K, LANES] i32 — slice column j of ELL slot (k, c)
+    (SlicePlan.col_tile); out_ref: [B, K, GROUP, LANES]."""
+    g = pl.program_id(0)
+    qmin = qmin_ref[g]
+
+    def body(win, sem):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(qmin, wr), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lanes_i = jnp.int32(LANES)  # see _kernel: scalars MUST be i32
+        for t in range(GROUP):
+            col = col_ref[t]  # (K, LANES) i32
+            acc = [
+                jnp.zeros((K, LANES), out_ref.dtype) for _ in range(B)
+            ]
+            for j in range(n_max):
+                rel = rel_ref[t, j]
+                rq = jax.lax.div(rel, lanes_i)
+                rr = jax.lax.rem(rel, lanes_i)
+                shift = jax.lax.rem(lanes_i - rr, lanes_i)
+                keep = lane < lanes_i - rr
+                mask = col == jnp.int32(j)  # (K, LANES)
+                for b in range(B):
+                    pair = win[b, pl.ds(rq, 2), :]  # rows rq, rq+1
+                    rolled = pltpu.roll(pair, shift, axis=1)
+                    sl = jnp.where(
+                        keep, rolled[0:1, :], rolled[1:2, :]
+                    )  # (1, LANES)
+                    acc[b] = jnp.where(mask, sl, acc[b])
+            for b in range(B):
+                out_ref[b, :, t, :] = acc[b]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((B, wr, LANES), out_ref.dtype),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "n_max", "win_rows", "interpret"),
+)
+def _slice_nbr_pallas(
+    col_tile,
+    starts,
+    x_padded,
+    tile: int,
+    n_max: int,
+    win_rows: int,
+    interpret: bool = False,
+):
+    """Neighbor values [B, K, ntp*tile] for B fields at once.
+
+    col_tile: [ntiles, K, tile] i32 (SlicePlan.col_tile);
+    starts: [ntiles, n_max] i32; x_padded: [B, pad_lo + C + pad_hi].
+    Non-interior slots (column 0 in col_tile) return arbitrary window
+    data — the caller overwrites them with the own-cell value."""
+    assert tile == LANES
+    B = x_padded.shape[0]
+    ntiles, K, _ = col_tile.shape
+    ngroups = -(-ntiles // GROUP)
+    ntp = ngroups * GROUP
+    if ntp != ntiles:
+        starts = jnp.concatenate(
+            [starts] + [starts[-1:]] * (ntp - ntiles), axis=0
+        )
+        col_tile = jnp.pad(
+            col_tile, ((0, ntp - ntiles), (0, 0), (0, 0))
+        )
+
+    q = starts // LANES
+    qmin = q.reshape(ngroups, GROUP * n_max).min(axis=1)  # [ngroups]
+    rel = (
+        starts - jnp.repeat(qmin, GROUP)[:, None] * LANES
+    ).astype(jnp.int32)
+
+    n = x_padded.shape[1]
+    nrows = -(-n // LANES) + win_rows
+    x2 = jnp.pad(
+        x_padded, ((0, 0), (0, nrows * LANES - n))
+    ).reshape(B, nrows, LANES)
+
+    z32 = lambda g: jnp.int32(0)
+    kern = functools.partial(_nbr_kernel, n_max, win_rows, B, K)
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, K, ntp, LANES), x_padded.dtype
+        ),
+        grid=(ngroups,),
+        in_specs=[
+            # Explicit index maps: see _slice_spmv_pallas (a mapless
+            # SMEM spec's default map traces i64 under x64).
+            pl.BlockSpec(
+                (ngroups,), lambda g: (z32(g),), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (GROUP, n_max),
+                lambda g: (g, z32(g)),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (GROUP, K, LANES),
+                lambda g: (g, z32(g), z32(g)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (B, K, GROUP, LANES),
+            lambda g: (z32(g), z32(g), g, z32(g)),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(qmin.astype(jnp.int32), rel, col_tile, x2)
+    return y.reshape(B, K, ntp * LANES)
+
+
+def slice_nbr_values(plan, x, interpret: bool = False):
+    """Neighbor-cell values x[nbr[c,k]] -> [C, K, *rest] over a slice
+    plan — the gather-free replacement for `take(x, cell_neighbors)`
+    on irregular meshes (kernel path of ops.ck_ops.nbr_values).
+
+    x: [C, *rest] (rest flattened into the kernel's field batch).
+    Values at non-interior ELL slots are arbitrary — the caller must
+    overwrite them with the own-cell value (nbr_values does)."""
+    C = plan.n_cells
+    rest = x.shape[1:]
+    flat = x.reshape(C, -1).T  # [B, C]
+    xp = jnp.pad(flat, ((0, 0), (plan.pad_lo, plan.pad_hi)))
+    y = _slice_nbr_pallas(
+        plan.col_tile,
+        plan.starts,
+        xp,
+        tile=plan.tile,
+        n_max=plan.n_max,
+        win_rows=plan.win_rows,
+        interpret=interpret,
+    )[:, :, :C]  # [B, K, C]
+    K = y.shape[1]
+    return jnp.transpose(y, (2, 1, 0)).reshape((C, K) + rest)
 
 
 def slice_spmv_pallas(diag, coef, plan, x, interpret: bool = False):

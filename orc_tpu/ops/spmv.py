@@ -205,6 +205,29 @@ _PALLAS_SLICE = _os.environ.get("ORC_TPU_PALLAS_SLICE", "1") == "1"
 _SLICE_WIN_ROWS_MAX = 8192
 
 
+def slice_nbr_eligible(plan, x, n_fields: int) -> bool:
+    """Gate for the Pallas neighbor-gather kernel
+    (ops/pallas_slice.slice_nbr_values) — the irregular-mesh
+    replacement for take(x, cell_neighbors) in assembly/gradients.
+    Same constraints as the slice SpMV, plus the per-field VMEM window
+    (n_fields windows share one run_scoped buffer). Opt out together
+    with the slice SpMV via ORC_TPU_PALLAS_SLICE=0."""
+    if not _PALLAS_SLICE or plan is None:
+        return False
+    if plan.win_rows <= 0 or plan.tile != 128:
+        return False
+    if getattr(plan, "col_tile", None) is None:
+        return False
+    if plan.win_rows * max(1, n_fields) > _SLICE_WIN_ROWS_MAX:
+        return False
+    if x.dtype != jnp.float32:
+        return False  # v5e x64-emulation rejects custom calls
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _slice_pallas_eligible(coef, plan, x):
     if not _PALLAS_SLICE or plan.win_rows <= 0 or plan.tile != 128:
         return False

@@ -141,8 +141,18 @@ def main():
                 f"({tg/results['shift']:.0f}x structured shift, "
                 f"slice wins {tg/t:.0f}x)"
             )
-            # prepare() cost, amortized over a solve's SpMVs
-            tp = slope(lambda a: a.prepare(), A, nsteps=32)
+            # prepare() cost, amortized over a solve's SpMVs. Not
+            # scan-slope-able (prepare changes the pytree's static
+            # slice_layout flag, so it cannot be a scan carry): time
+            # jitted dispatches directly with the host-copy barrier.
+            prep = jax.jit(lambda off: A.with_values(diag, off).prepare().off)
+            _ = np.asarray(prep(off).ravel()[:8])
+            ts = []
+            for _ in range(7):
+                t1 = time.perf_counter()
+                _ = np.asarray(prep(off).ravel()[:8])
+                ts.append(time.perf_counter() - t1)
+            tp = sorted(ts)[len(ts) // 2]
             print(f"prepare() cost   : {tp*1e6:8.1f} us (once per solve)")
     return results
 

@@ -132,6 +132,43 @@ def main():
         f"gather, {t_xs/t_p:.0f}x faster than XLA slice"
     )
 
+    # 5. neighbor-VALUE gather (assembly's nbr_values): Pallas window
+    # kernel vs the element gather, scalar and [C,3] vector fields.
+    from orc_tpu.ops.pallas_slice import slice_nbr_values
+
+    intj = jnp.asarray(interior)
+
+    # Hardware correctness of the dispatched kernel first.
+    y_nbr = np.asarray(
+        jax.jit(lambda v: slice_nbr_values(plan, v))(x)
+    )
+    ref_nbr = np.asarray(x)[nb]
+    errn = np.abs((y_nbr - ref_nbr) * interior).max()
+    print(f"nbr kernel hardware err: {errn:.2e}", file=sys.stderr)
+    assert errn < 1e-6, "nbr kernel WRONG on this backend"
+
+    own = lambda v, y: jnp.where(intj, y, v[:, None])
+    t_ng = slope(lambda v: own(v, v[nbj]).sum(1), x, nsteps=64)
+    report("nbr gather [C,K]", t_ng)
+    t_np = slope(
+        lambda v: own(v, slice_nbr_values(plan, v)).sum(1), x
+    )
+    report("nbr kernel [C,K]", t_np)
+    print(f"  = {t_ng/t_np:.0f}x faster than gather")
+
+    x3 = jnp.asarray(rng.standard_normal((C, 3)), dtype)
+    own3 = lambda v, y: jnp.where(intj[..., None], y, v[:, None, :])
+    t_ng3 = slope(
+        lambda v: own3(v, v[nbj]).sum(1), x3, nsteps=32
+    )
+    report("nbr gather [C,K,3]", t_ng3)
+    t_np3 = slope(
+        lambda v: own3(v, slice_nbr_values(plan, v)).sum(1), x3,
+        nsteps=256,
+    )
+    report("nbr kernel [C,K,3]", t_np3)
+    print(f"  = {t_ng3/t_np3:.0f}x faster than gather")
+
 
 if __name__ == "__main__":
     main()

@@ -161,3 +161,52 @@ def test_win_rows_cap_falls_back_to_xla():
     big = dataclasses.replace(plan, win_rows=_SLICE_WIN_ROWS_MAX + 1)
     coef = _prepared_coef(off, nbrs, plan)
     assert not _slice_pallas_eligible(coef, big, jnp.asarray(x))
+
+
+def test_nbr_kernel_matches_gather():
+    """The neighbor-gather kernel (slice_nbr_values) must reproduce
+    take(x, cell_neighbors) exactly at interior slots — scalar and
+    vector fields, partial last tile, an empty tile, K=6. Small sizes:
+    interpret-mode unrolls GROUP*n_max*B, so compiles are expensive."""
+    from orc_tpu.ops.pallas_slice import slice_nbr_values
+
+    C = 300  # partial last tile, ntiles % GROUP != 0
+    nbrs, off, diag, x, plan = _random_banded(
+        C, K=6, bw=6, seed=7, empty_tiles=(1,)
+    )
+    assert plan.col_tile is not None
+    valid = nbrs != np.arange(C)[:, None]
+
+    y = np.asarray(
+        slice_nbr_values(plan, jnp.asarray(x), interpret=True)
+    )
+    np.testing.assert_array_equal(y * valid, x[nbrs] * valid)
+
+    xv = np.random.default_rng(1).standard_normal((C, 3)).astype(
+        np.float32
+    )
+    yv = np.asarray(
+        slice_nbr_values(plan, jnp.asarray(xv), interpret=True)
+    )
+    np.testing.assert_array_equal(
+        yv * valid[:, :, None], xv[nbrs] * valid[:, :, None]
+    )
+
+
+def test_nbr_eligibility_gate():
+    """slice_nbr_eligible: rejects f64, missing col_tile, and
+    window*fields over the VMEM cap."""
+    import dataclasses
+
+    from orc_tpu.ops.spmv import _SLICE_WIN_ROWS_MAX, slice_nbr_eligible
+
+    nbrs, off, diag, x, plan = _random_banded(300, seed=3)
+    x32 = jnp.asarray(x)
+    assert not slice_nbr_eligible(None, x32, 1)
+    assert not slice_nbr_eligible(
+        dataclasses.replace(plan, col_tile=None), x32, 1
+    )
+    assert not slice_nbr_eligible(plan, x32.astype(jnp.float64), 1)
+    assert not slice_nbr_eligible(
+        plan, x32, 1 + _SLICE_WIN_ROWS_MAX // max(1, plan.win_rows)
+    )
