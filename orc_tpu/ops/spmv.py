@@ -71,16 +71,29 @@ class EllMatrix:
 
     def prepare(self) -> "EllMatrix":
         """One-time (per solve) conversion to the slice-column layout
-        when a slice plan exists. ~C*K scatter + transpose, amortized
-        over the solve's dozens of SpMVs. No-op otherwise."""
+        when a slice plan exists; amortized over the solve's dozens of
+        SpMVs. No-op otherwise.
+
+        The [C,K] -> [C,n_max] routing is a K-way one-hot select
+        accumulation, NOT a scatter: distinct interior slots of a row
+        have distinct deltas (hence distinct slice columns), so at most
+        one k contributes per (c, j) and a sum of masked selects is
+        exact. On TPU the elementwise form runs at memory speed while
+        the equivalent XLA scatter takes ~74x longer (12.5 ms vs
+        0.17 ms at 200k cells, K=6, n_max=33 — measured round 4)."""
         if self.plan is None or self.slice_layout:
             return self
         p = self.plan
         C, K = self.neighbors.shape
         batch = self.off.shape[:-2]
-        rows = jnp.arange(C)[:, None]
+        iota_j = jnp.arange(p.n_max, dtype=p.col_of.dtype)[None, :]
         coef = jnp.zeros((*batch, C, p.n_max), self.off.dtype)
-        coef = coef.at[..., rows, p.col_of].add(self.off)
+        for k in range(K):
+            coef = coef + jnp.where(
+                p.col_of[:, k : k + 1] == iota_j,
+                self.off[..., :, k : k + 1],
+                0.0,
+            )
         cpad = p.ntiles * p.tile - C
         coef = jnp.pad(
             coef, [(0, 0)] * len(batch) + [(0, cpad), (0, 0)]
