@@ -373,7 +373,7 @@ def compile_from_arrays(
             # bandwidth, then build the slice plan (mesh/reorder.py) so
             # solvers run the gather-free slice SpMV.
             from orc_tpu.mesh.reorder import (
-                build_slice_plan,
+                build_best_slice_plan,
                 rcm_permutation,
             )
 
@@ -392,7 +392,9 @@ def compile_from_arrays(
                 cell_neighbors,
             ) = _build_ell(owner, neighbor, neighbor_safe, interior, C)
             entry_interior = interior[cell_faces] & cell_face_mask
-            slice_plan = build_slice_plan(cell_neighbors, entry_interior)
+            slice_plan = build_best_slice_plan(
+                cell_neighbors, entry_interior
+            )
             cell_order = rcm
 
     f = lambda x: jnp.asarray(x, dtype=dtype)

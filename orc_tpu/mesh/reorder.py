@@ -202,11 +202,11 @@ def build_slice_plan(
     ).copy()
     starts[ut, j_of_pair] = raw_start + pad_lo
 
-    # Static window size for the Pallas slice kernel: group tiles by
-    # GROUP (the kernel's output block), pad the tail group by
-    # replicating the last tile (matching the kernel's padding), and
-    # take the worst row span. Rows are 128-lane rows of the padded x
-    # (tile == 128 on the kernel path).
+    # Static window size for the Pallas slice kernels. Rows are
+    # 128-lane rows of the padded x. tile == 128: GROUP tiles share one
+    # window per kernel step (span + 2 rows for the roll pair). Wider
+    # tiles (tile = T*128): one tile per step, window = start span +
+    # T + 1 rows (the rolled block is T+1 rows).
     from orc_tpu.ops.pallas_slice import GROUP, LANES
 
     win_rows = 0
@@ -217,6 +217,10 @@ def build_slice_plan(
             [q] + [q[-1:]] * (ngroups * GROUP - ntiles), axis=0
         ).reshape(ngroups, GROUP * n_max)
         win_rows = int((qpad.max(axis=1) - qpad.min(axis=1)).max()) + 2
+    elif tile % LANES == 0:
+        q = starts // LANES
+        T = tile // LANES
+        win_rows = int((q.max(axis=1) - q.min(axis=1)).max()) + T + 1
 
     # col_of in the kernel-tile layout for the neighbor-gather kernel:
     # [ntiles, K, tile], rows past C padded with column 0 (their
@@ -238,3 +242,42 @@ def build_slice_plan(
         win_rows=win_rows,
         col_tile=jnp.asarray(col_tile, jnp.int32),
     )
+
+
+def build_best_slice_plan(
+    cell_neighbors: np.ndarray,
+    entry_interior: np.ndarray,
+    tiles=(128, 1024),
+) -> SlicePlan | None:
+    """Build slice plans at the candidate tile widths and keep the one
+    with the lowest modeled kernel cost.
+
+    Wider tiles amortize the Pallas kernels' per-slice work — the roll
+    + select + FMA issue ONCE per (tile, slice) regardless of sublane
+    count, so a T*128-row tile retires T*128 outputs per ~ (2 + 2T/8)
+    instructions where T=1 retires 128 per ~4 — at the price of a
+    larger per-tile distinct-delta set (n_max grows with the union of
+    the constituent 128-row tiles' delta sets) and proportionally more
+    slice-column coefficient traffic in prepare()/SpMV. The model
+    charges instructions n_max*(2 + ceil((T+1)/8) + ceil(T/8)) per
+    tile plus HBM-traffic instructions for the n_max*tile coefficient
+    block; measured crossover on the permuted-cavity mesh favors
+    tile=1024 from ~100k cells (BASELINE.md round 4)."""
+    C = cell_neighbors.shape[0]
+    best, best_cost = None, None
+    for tile in tiles:
+        if tile != 128 and C < 4 * tile:
+            continue
+        plan = build_slice_plan(cell_neighbors, entry_interior, tile=tile)
+        if plan is None:
+            continue
+        T = tile // 128
+        # instructions per tile: n_max rolls/selects/FMAs on
+        # (T+1,128)-row blocks + coefficient-load cost (the [n_max,
+        # tile] block read from HBM, ~1 instr / (8,128) f32 register).
+        instr = plan.n_max * (2 + -(-(T + 1) // 8) + -(-T // 8))
+        instr += plan.n_max * T * 16 // 8  # coef traffic
+        cost = instr / tile  # per cell
+        if best_cost is None or cost < best_cost:
+            best, best_cost = plan, cost
+    return best

@@ -166,6 +166,232 @@ def _slice_spmv_pallas(
     return y.reshape(ntp * LANES)
 
 
+def _kernel_wide(n_max, wr, T, qmin_ref, rel_ref, coef_ref, x_hbm, y_ref):
+    """Wide-tile SpMV kernel: one tile of T*128 rows per grid step.
+
+    The roll/select/FMA issue ONCE per slice regardless of row count,
+    so a T=8 tile retires 8x the outputs of the 128-row kernel per
+    slice at the cost of a (T+1)-row rolled block — ~4x fewer VPU
+    instructions per cell at the measured n_max inflation
+    (mesh/reorder.build_best_slice_plan)."""
+    g = pl.program_id(0)
+    qmin = qmin_ref[g]
+    # rel rows are blocked in groups of 8 (SMEM blocks need the
+    # second-to-last dim divisible by 8); this step's row is g % 8.
+    row = jax.lax.rem(g, jnp.int32(8))
+
+    def body(win, sem):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(qmin, wr), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lanes_i = jnp.int32(LANES)  # see _kernel: scalars MUST be i32
+        acc = jnp.zeros((T, LANES), y_ref.dtype)
+        for j in range(n_max):
+            rel = rel_ref[row, j]
+            rq = jax.lax.div(rel, lanes_i)
+            rr = jax.lax.rem(rel, lanes_i)
+            block = win[pl.ds(rq, T + 1), :]  # rows rq .. rq+T
+            rolled = pltpu.roll(
+                block, jax.lax.rem(lanes_i - rr, lanes_i), axis=1
+            )
+            sl = jnp.where(
+                lane < lanes_i - rr, rolled[:T, :], rolled[1:, :]
+            )  # (T, LANES)
+            acc = acc + coef_ref[0, j] * sl
+        y_ref[0] = acc
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((wr, LANES), y_ref.dtype),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "n_max", "win_rows", "interpret")
+)
+def _slice_spmv_pallas_wide(
+    coef,
+    starts,
+    x_padded,
+    tile: int,
+    n_max: int,
+    win_rows: int,
+    interpret: bool = False,
+):
+    """Wide-tile variant of _slice_spmv_pallas (tile = T*128, one tile
+    per grid step). coef: [ntiles, n_max, tile]."""
+    T = tile // LANES
+    assert T * LANES == tile and T > 1
+    ntiles = coef.shape[0]
+    wr = win_rows
+
+    q = starts // LANES
+    qmin = q.min(axis=1)  # [ntiles]
+    rel = (starts - qmin[:, None] * LANES).astype(jnp.int32)
+    # SMEM blocks need the second-to-last dim divisible by 8: pad the
+    # rel rows to a multiple of 8 and hand the kernel 8-row blocks.
+    nt8 = -(-ntiles // 8) * 8
+    rel = jnp.pad(rel, ((0, nt8 - ntiles), (0, 0)))
+
+    n = x_padded.shape[0]
+    nrows = -(-n // LANES) + wr
+    x2 = jnp.pad(x_padded, (0, nrows * LANES - n)).reshape(nrows, LANES)
+    coef4 = coef.reshape(ntiles, n_max, T, LANES)
+
+    z32 = lambda g: jnp.int32(0)
+    div8 = lambda g: jax.lax.div(g, jnp.int32(8))
+    kern = functools.partial(_kernel_wide, n_max, wr, T)
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles, T, LANES), x_padded.dtype
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            # Explicit index maps: see _slice_spmv_pallas.
+            pl.BlockSpec(
+                (ntiles,), lambda g: (z32(g),), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (8, n_max),
+                lambda g: (div8(g), z32(g)),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_max, T, LANES),
+                lambda g: (g, z32(g), z32(g), z32(g)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, LANES),
+            lambda g: (g, z32(g), z32(g)),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(qmin.astype(jnp.int32), rel, coef4, x2)
+    return y.reshape(ntiles * tile)
+
+
+def _nbr_kernel_wide(
+    n_max, wr, B, K, T, qmin_ref, rel_ref, col_ref, x_hbm, out_ref
+):
+    """Wide-tile neighbor-VALUE kernel (cf. _nbr_kernel): one T*128-row
+    tile per step; col_ref [1, K, T, LANES]; out [B, K, 1, T, LANES]."""
+    g = pl.program_id(0)
+    qmin = qmin_ref[g]
+    row = jax.lax.rem(g, jnp.int32(8))  # see _kernel_wide
+
+    def body(win, sem):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(qmin, wr), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+        lanes_i = jnp.int32(LANES)
+        acc = [
+            jnp.zeros((K, T, LANES), out_ref.dtype) for _ in range(B)
+        ]
+        col = col_ref[0]  # (K, T, LANES)
+        for j in range(n_max):
+            rel = rel_ref[row, j]
+            rq = jax.lax.div(rel, lanes_i)
+            rr = jax.lax.rem(rel, lanes_i)
+            shift = jax.lax.rem(lanes_i - rr, lanes_i)
+            keep = lane < lanes_i - rr  # (1, 1, LANES)
+            mask = col == jnp.int32(j)  # (K, T, LANES)
+            for b in range(B):
+                block = win[b, pl.ds(rq, T + 1), :]
+                rolled = pltpu.roll(block, shift, axis=1)
+                sl = jnp.where(
+                    keep, rolled[:T, :][None], rolled[1:, :][None]
+                )  # (1, T, LANES)
+                acc[b] = jnp.where(mask, sl, acc[b])
+        for b in range(B):
+            out_ref[b, :, 0] = acc[b]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((B, wr, LANES), out_ref.dtype),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "n_max", "win_rows", "interpret"),
+)
+def _slice_nbr_pallas_wide(
+    col_tile,
+    starts,
+    x_padded,
+    tile: int,
+    n_max: int,
+    win_rows: int,
+    interpret: bool = False,
+):
+    """Wide-tile variant of _slice_nbr_pallas. col_tile: [ntiles, K,
+    tile]; x_padded: [B, ...]; returns [B, K, ntiles*tile]."""
+    T = tile // LANES
+    assert T * LANES == tile and T > 1
+    B = x_padded.shape[0]
+    ntiles, K, _ = col_tile.shape
+    wr = win_rows
+
+    q = starts // LANES
+    qmin = q.min(axis=1)
+    rel = (starts - qmin[:, None] * LANES).astype(jnp.int32)
+    nt8 = -(-ntiles // 8) * 8  # see _slice_spmv_pallas_wide
+    rel = jnp.pad(rel, ((0, nt8 - ntiles), (0, 0)))
+
+    n = x_padded.shape[1]
+    nrows = -(-n // LANES) + wr
+    x2 = jnp.pad(
+        x_padded, ((0, 0), (0, nrows * LANES - n))
+    ).reshape(B, nrows, LANES)
+    col4 = col_tile.reshape(ntiles, K, T, LANES)
+
+    z32 = lambda g: jnp.int32(0)
+    div8 = lambda g: jax.lax.div(g, jnp.int32(8))
+    kern = functools.partial(_nbr_kernel_wide, n_max, wr, B, K, T)
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, K, ntiles, T, LANES), x_padded.dtype
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (ntiles,), lambda g: (z32(g),), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (8, n_max),
+                lambda g: (div8(g), z32(g)),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, K, T, LANES),
+                lambda g: (g, z32(g), z32(g), z32(g)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, K, 1, T, LANES),
+            lambda g: (z32(g), z32(g), g, z32(g), z32(g)),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(qmin.astype(jnp.int32), rel, col4, x2)
+    return y.reshape(B, K, ntiles * tile)
+
+
 def _vmappable_kernel(plan, interpret):
     """The kernel call wrapped in a custom vmap rule: `jax.vmap`
     (the [3,C] batched momentum solve, solver/simple.py) unrolls into
@@ -180,12 +406,17 @@ def _vmappable_kernel(plan, interpret):
         win_rows=plan.win_rows,
         interpret=interpret,
     )
+    impl = (
+        _slice_spmv_pallas
+        if plan.tile == LANES
+        else _slice_spmv_pallas_wide
+    )
 
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
     def y_off(coef, starts, xp):
-        return _slice_spmv_pallas(coef, starts, xp, **kw)
+        return impl(coef, starts, xp, **kw)
 
     @y_off.def_vmap
     def _rule(axis_size, in_batched, coef, starts, xp):
@@ -344,7 +575,10 @@ def slice_nbr_values(plan, x, interpret: bool = False):
     rest = x.shape[1:]
     flat = x.reshape(C, -1).T  # [B, C]
     xp = jnp.pad(flat, ((0, 0), (plan.pad_lo, plan.pad_hi)))
-    y = _slice_nbr_pallas(
+    impl = (
+        _slice_nbr_pallas if plan.tile == LANES else _slice_nbr_pallas_wide
+    )
+    y = impl(
         plan.col_tile,
         plan.starts,
         xp,

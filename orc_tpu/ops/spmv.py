@@ -227,7 +227,7 @@ def slice_nbr_eligible(plan, x, n_fields: int) -> bool:
     with the slice SpMV via ORC_TPU_PALLAS_SLICE=0."""
     if not _PALLAS_SLICE or plan is None:
         return False
-    if plan.win_rows <= 0 or plan.tile != 128:
+    if plan.win_rows <= 0 or plan.tile % 128 != 0:
         return False
     if getattr(plan, "col_tile", None) is None:
         return False
@@ -242,7 +242,7 @@ def slice_nbr_eligible(plan, x, n_fields: int) -> bool:
 
 
 def _slice_pallas_eligible(coef, plan, x):
-    if not _PALLAS_SLICE or plan.win_rows <= 0 or plan.tile != 128:
+    if not _PALLAS_SLICE or plan.win_rows <= 0 or plan.tile % 128 != 0:
         return False
     if plan.win_rows > _SLICE_WIN_ROWS_MAX:
         return False

@@ -132,6 +132,25 @@ def main():
         f"gather, {t_xs/t_p:.0f}x faster than XLA slice"
     )
 
+    # 4b. wide-tile (1024) Pallas slice kernel: one roll retires 8
+    # output rows (mesh/reorder.build_best_slice_plan rationale).
+    plan_w = build_slice_plan(nb, interior, tile=1024)
+    if plan_w is not None:
+        print(
+            f"wide plan: ntiles={plan_w.ntiles} n_max={plan_w.n_max} "
+            f"win_rows={plan_w.win_rows}",
+            file=sys.stderr,
+        )
+        Aw = EllMatrix(
+            diag=diag, off=off, neighbors=nbj, plan=plan_w
+        ).prepare()
+        y_hw = np.asarray(Aw.matvec(x))
+        err = np.abs(y_hw - y_ref).max() / np.abs(y_ref).max()
+        assert err < 1e-5, f"wide slice kernel WRONG ({err})"
+        t_pw = slope(lambda v: slice_spmv_pallas(Aw.diag, Aw.off, plan_w, v), x)
+        report("pallas slice 1024", t_pw)
+        print(f"  = {t_pw/t_shift:.1f}x shift, {t_p/t_pw:.1f}x vs tile-128")
+
     # 5. neighbor-VALUE gather (assembly's nbr_values): Pallas window
     # kernel vs the element gather, scalar and [C,3] vector fields.
     from orc_tpu.ops.pallas_slice import slice_nbr_values
@@ -168,6 +187,26 @@ def main():
     )
     report("nbr kernel [C,K,3]", t_np3)
     print(f"  = {t_ng3/t_np3:.0f}x faster than gather")
+
+    if plan_w is not None:
+        y_nw = np.asarray(
+            jax.jit(lambda v: slice_nbr_values(plan_w, v))(x)
+        )
+        errn = np.abs((y_nw - ref_nbr) * interior).max()
+        assert errn < 1e-6, f"wide nbr kernel WRONG ({errn})"
+        t_nw = slope(
+            lambda v: own(v, slice_nbr_values(plan_w, v)).sum(1), x
+        )
+        report("nbr kernel 1024 [C,K]", t_nw)
+        t_nw3 = slope(
+            lambda v: own3(v, slice_nbr_values(plan_w, v)).sum(1), x3,
+            nsteps=256,
+        )
+        report("nbr kernel 1024 [C,K,3]", t_nw3)
+        print(
+            f"  vs tile-128: scalar {t_np/t_nw:.1f}x, "
+            f"vector {t_np3/t_nw3:.1f}x"
+        )
 
 
 if __name__ == "__main__":

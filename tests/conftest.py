@@ -24,6 +24,23 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent XLA compile cache for the suite. Two reasons: (1) reruns
+# skip ~240 CPU compiles (minutes saved); (2) the XLA CPU JIT has
+# segfaulted nondeterministically late in full-suite runs (hundreds of
+# in-process compilations; the same tests pass standalone — observed
+# twice in round 4, different tests each time) and cache hits remove
+# most compile work from the process. Override with ORC_TPU_TEST_CACHE
+# (set to empty to disable).
+_cache = os.environ.get("ORC_TPU_TEST_CACHE", "/tmp/orc_tpu_test_cache")
+if _cache:
+    import jax  # noqa: E402
+
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update(
+        "jax_persistent_cache_min_entry_size_bytes", -1
+    )
+
 REFERENCE_EXAMPLES = "/root/reference/examples"
 
 

@@ -210,3 +210,62 @@ def test_nbr_eligibility_gate():
     assert not slice_nbr_eligible(
         plan, x32, 1 + _SLICE_WIN_ROWS_MAX // max(1, plan.win_rows)
     )
+
+
+def test_wide_tile_kernels_match_gather():
+    """tile=1024 variants (one T*128-row tile per grid step,
+    mesh/reorder.build_best_slice_plan): SpMV and neighbor-gather
+    kernels must match the gather paths exactly, including a partial
+    last tile."""
+    from orc_tpu.ops.pallas_slice import slice_nbr_values
+
+    C, K, bw = 4196, 4, 6  # 5 tiles, last partial
+    rng = np.random.default_rng(21)
+    base = np.arange(C)[:, None]
+    nbrs = base + rng.integers(-bw, bw + 1, (C, K))
+    valid = (nbrs >= 0) & (nbrs < C) & (nbrs != base)
+    nbrs = np.where(valid, nbrs, base)
+    plan = build_slice_plan(nbrs, valid, tile=1024)
+    assert plan is not None and plan.tile == 1024
+    off = (rng.standard_normal((C, K)) * valid).astype(np.float32)
+    diag = (rng.standard_normal(C) + 5.0).astype(np.float32)
+    x = rng.standard_normal(C).astype(np.float32)
+
+    coef = _prepared_coef(off, nbrs, plan)
+    y = slice_spmv_pallas(
+        jnp.asarray(diag), coef, plan, jnp.asarray(x), interpret=True
+    )
+    y_ref = ell_spmv(
+        jnp.asarray(diag), jnp.asarray(off), jnp.asarray(nbrs),
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=2e-6, atol=2e-6
+    )
+
+    yn = np.asarray(
+        slice_nbr_values(plan, jnp.asarray(x), interpret=True)
+    )
+    np.testing.assert_array_equal(yn * valid, x[nbrs] * valid)
+    xv = rng.standard_normal((C, 3)).astype(np.float32)
+    ynv = np.asarray(
+        slice_nbr_values(plan, jnp.asarray(xv), interpret=True)
+    )
+    np.testing.assert_array_equal(
+        ynv * valid[:, :, None], xv[nbrs] * valid[:, :, None]
+    )
+
+
+def test_best_plan_selector():
+    """build_best_slice_plan picks a valid plan and small meshes stay
+    on tile=128 (wide tiles need C >= 4*tile)."""
+    from orc_tpu.mesh.reorder import build_best_slice_plan
+
+    C, K = 700, 4
+    rng = np.random.default_rng(5)
+    base = np.arange(C)[:, None]
+    nbrs = base + rng.integers(-8, 9, (C, K))
+    valid = (nbrs >= 0) & (nbrs < C) & (nbrs != base)
+    nbrs = np.where(valid, nbrs, base)
+    plan = build_best_slice_plan(nbrs, valid)
+    assert plan is not None and plan.tile == 128
