@@ -393,7 +393,7 @@ def compile_from_arrays(
             ) = _build_ell(owner, neighbor, neighbor_safe, interior, C)
             entry_interior = interior[cell_faces] & cell_face_mask
             slice_plan = build_best_slice_plan(
-                cell_neighbors, entry_interior
+                cell_neighbors, entry_interior, build_col_tile=True
             )
             cell_order = rcm
 

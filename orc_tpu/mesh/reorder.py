@@ -68,8 +68,10 @@ class SlicePlan:
     )
     #: [ntiles, K, tile] i32 — col_of transposed to the kernel-tile
     #: layout consumed by the Pallas neighbor-gather kernel
-    #: (ops/pallas_slice.slice_nbr_values). None disables that kernel
-    #: (e.g. AMG coarse plans, which never gather neighbor values).
+    #: (ops/pallas_slice.slice_nbr_values). Only materialized when
+    #: build_slice_plan(build_col_tile=True) — the mesh-compile path;
+    #: None disables that kernel (AMG coarse plans and f64/CPU meshes
+    #: never gather neighbor values, so they skip the ~C*K*4 B buffer).
     col_tile: "jax.Array | None" = None
 
     @property
@@ -143,12 +145,18 @@ def build_slice_plan(
     cell_neighbors: np.ndarray,
     entry_interior: np.ndarray,
     tile: int = 128,
+    build_col_tile: bool = False,
 ) -> SlicePlan | None:
     """Build the per-tile distinct-delta slice schedule.
 
     Returns None when the plan would be degenerate (bandwidth so large
     that n_max slices per tile exceed the tile size -- then the plan
     has no advantage over a plain gather).
+
+    build_col_tile materializes SlicePlan.col_tile ([ntiles, K, tile]
+    i32, ~C*K*4 B on device) for the Pallas neighbor-gather kernel;
+    only the mesh-compile path needs it — SpMV-only consumers (AMG
+    coarse levels, f64/CPU fallbacks) leave it off.
     """
     import jax.numpy as jnp
 
@@ -225,11 +233,14 @@ def build_slice_plan(
     # col_of in the kernel-tile layout for the neighbor-gather kernel:
     # [ntiles, K, tile], rows past C padded with column 0 (their
     # outputs are dropped / masked by the caller's interior mask).
-    col_pad = np.zeros((ntiles * tile, K), dtype=np.int64)
-    col_pad[:C] = col_of
-    col_tile = np.swapaxes(
-        col_pad.reshape(ntiles, tile, K), 1, 2
-    ).copy()
+    col_tile = None
+    if build_col_tile:
+        col_pad = np.zeros((ntiles * tile, K), dtype=np.int64)
+        col_pad[:C] = col_of
+        col_tile = jnp.asarray(
+            np.swapaxes(col_pad.reshape(ntiles, tile, K), 1, 2),
+            jnp.int32,
+        )
 
     return SlicePlan(
         starts=jnp.asarray(starts, jnp.int32),
@@ -240,7 +251,7 @@ def build_slice_plan(
         pad_hi=pad_hi,
         n_cells=C,
         win_rows=win_rows,
-        col_tile=jnp.asarray(col_tile, jnp.int32),
+        col_tile=col_tile,
     )
 
 
@@ -248,6 +259,7 @@ def build_best_slice_plan(
     cell_neighbors: np.ndarray,
     entry_interior: np.ndarray,
     tiles=(128, 1024),
+    build_col_tile: bool = False,
 ) -> SlicePlan | None:
     """Build slice plans at the candidate tile widths and keep the one
     with the lowest modeled kernel cost.
@@ -268,7 +280,10 @@ def build_best_slice_plan(
     for tile in tiles:
         if tile != 128 and C < 4 * tile:
             continue
-        plan = build_slice_plan(cell_neighbors, entry_interior, tile=tile)
+        plan = build_slice_plan(
+            cell_neighbors, entry_interior, tile=tile,
+            build_col_tile=build_col_tile,
+        )
         if plan is None:
             continue
         T = tile // 128

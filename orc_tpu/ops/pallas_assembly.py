@@ -71,6 +71,16 @@ class AsmSpec(NamedTuple):
     p_so: bool = False  # SecondOrder face pressures (else Linear[W])
     psi: object = None  # static TVD limiter callable (tvd_dc only)
     vol: float = 0.0  # uniform cell volume (rc / FC d-coefficients)
+    # Compute the Green-Gauss cell pressure gradient IN-KERNEL from the
+    # p halo window (doubled halo + a flags plane) instead of streaming
+    # XLA-computed grad-p planes — removes the separate gradient pass
+    # and its fusion barrier (round-5; the reason the reference-default
+    # CD1+SecondOrder+RhieChow config assembled at 40% of roofline).
+    # Single-device only: the sharded slab partition keeps a 1-deep
+    # ghost layer, but the in-kernel NEIGHBOR gradient needs p (and
+    # interior flags) 2 layers deep — sharded runs stream grad-p planes
+    # refreshed by ppermute instead (solver/simple._pallas_asm_spec).
+    gg: bool = False
 
 
 ACTIVE_BIT = 6  # flag bit marking real (non-padded) cells
@@ -135,6 +145,47 @@ def _dot_n(u, v, w, n):
     return acc
 
 
+def _gg_eval(cols, spec, bufs, flb, hr, p_hr, br, bc_ref, zero):
+    """Lazy in-kernel Green-Gauss CELL pressure gradient (Linear face
+    pressures — exactly ck_ops.ck_pressure_gradient) evaluated at
+    (axis, cell-offset d0) from the doubled-halo p window `bufs["p"]`
+    and the flags plane `flb`; memoized per (axis, d0) so gp_c at d0=0
+    is computed once for all columns. d0 ranges over {0} ∪ {column
+    offsets}, so p reads reach at most 2·max|offset| — covered by the
+    doubled p halo. Values at positions whose flags are padding (past
+    the domain) are finite garbage masked out by the caller's
+    `interior` selects."""
+    cache = {}
+
+    def gp(ax, d0):
+        key = (ax, d0)
+        if key in cache:
+            return cache[key]
+        fl = flb[hr : hr + br, :] if d0 == 0 else _shifted(flb, hr, br, d0)
+        p_c = (
+            bufs["p"][p_hr : p_hr + br, :]
+            if d0 == 0
+            else _shifted(bufs["p"], p_hr, br, d0)
+        )
+        acc = zero
+        for k2, col2 in enumerate(cols):
+            na2 = col2.n_out[ax]
+            if not na2:
+                continue  # statically zero contribution to this axis
+            p_n = _shifted(bufs["p"], p_hr, br, d0 + col2.offset)
+            i2 = ((fl >> k2) & 1) == 1
+            if col2.kind == "pressure":
+                p_b = jnp.zeros_like(p_c) + bc_ref[col2.zone, 3]
+            else:
+                p_b = p_c
+            p_f = jnp.where(i2, 0.5 * (p_c + p_n), p_b)
+            acc = acc + (na2 * col2.area / spec.vol) * p_f
+        cache[key] = acc
+        return acc
+
+    return gp
+
+
 def _momentum_kernel(
     cols, hr, br, fc, spec, gp_axes, gv_axes, transient, n_planes,
     params_ref, bc_ref, flags_ref,
@@ -164,37 +215,57 @@ def _momentum_kernel(
 
     r = pl.program_id(0)
     start = pl.multiple_of(r * jnp.int32(br), br)
-    W = br + 2 * hr + 1
+    p_hr = 2 * hr if spec.gg else hr  # gg: p halo covers 2-hop shifts
+    halo_of = lambda n: p_hr if n == "p" else hr
     rho = params_ref[0, 0]
     mu = params_ref[0, 1]
     alpha = params_ref[0, 2]
 
     # Plane naming convention (must mirror _momentum_asm's build):
     names = ["u", "v", "w", "p"]
-    names += [f"gp{a}" for a in gp_axes]
+    if not spec.gg:
+        names += [f"gp{a}" for a in gp_axes]
     if spec.rc and not fc:
         names += ["md"]
     names += [f"gv{i}{a}" for i in range(3) for a in gv_axes]
     assert len(names) == n_planes
 
     def body(*scoped):
-        bufs = dict(zip(names, scoped[:-1]))
+        bufs = dict(zip(names, scoped[:n_planes]))
+        flb = scoped[n_planes] if spec.gg else None
         sem = scoped[-1]
         for name, buf in bufs.items():
+            Wn = br + 2 * halo_of(name) + 1
             dma = pltpu.make_async_copy(
-                hbm[names.index(name)].at[pl.ds(start, W), :], buf, sem
+                hbm[names.index(name)].at[pl.ds(start, Wn), :], buf, sem
             )
             dma.start()
             dma.wait()
-        flags = flags_ref[...]
+        if spec.gg:
+            # flags ride as a halo'd i32 plane: the in-kernel neighbor
+            # gradient needs the NEIGHBOR cell's interior bits.
+            dma = pltpu.make_async_copy(
+                flags_ref.at[pl.ds(start, br + 2 * hr + 1), :], flb, sem
+            )
+            dma.start()
+            dma.wait()
+            flags = flb[hr : hr + br, :]
+        else:
+            flags = flags_ref[...]
         active = ((flags >> ACTIVE_BIT) & 1) == 1
 
         def ctr(name):
-            return bufs[name][hr : hr + br, :]
+            h = halo_of(name)
+            return bufs[name][h : h + br, :]
 
         u_c, v_c, w_c, p_c = ctr("u"), ctr("v"), ctr("w"), ctr("p")
         zero = jnp.zeros_like(u_c)
         one = jnp.ones_like(u_c)
+        gp_eval = (
+            _gg_eval(cols, spec, bufs, flb, hr, p_hr, br, bc_ref, zero)
+            if spec.gg
+            else None
+        )
 
         if spec.rc and not fc:
             md_c = ctr("md")
@@ -216,13 +287,16 @@ def _momentum_kernel(
             def nb(name):
                 if col.offset == 0:
                     return ctr(name)
-                return _shifted(bufs[name], hr, br, col.offset)
+                return _shifted(bufs[name], halo_of(name), br, col.offset)
 
             p_n = nb("p")
             need_vn = (not fc) or spec.scheme == "tvd_dc"
             if need_vn:
                 u_n, v_n, w_n = nb("u"), nb("v"), nb("w")
-            if ax is not None and f"gp{ax}" in names:
+            if ax is not None and spec.gg and ax in gp_axes:
+                gp_c = gp_eval(ax, 0)
+                gp_n = gp_eval(ax, col.offset)
+            elif ax is not None and f"gp{ax}" in names:
                 gp_c = ctr(f"gp{ax}")
                 gp_n = nb(f"gp{ax}")
             # --- face mass flow F ---
@@ -354,8 +428,13 @@ def _momentum_kernel(
     pl.run_scoped(
         body,
         *(
-            pltpu.VMEM((br + 2 * hr + 1, LANES), diag_ref.dtype)
-            for _ in range(n_planes)
+            pltpu.VMEM((br + 2 * halo_of(nm) + 1, LANES), diag_ref.dtype)
+            for nm in names
+        ),
+        *(
+            (pltpu.VMEM((br + 2 * hr + 1, LANES), jnp.int32),)
+            if spec.gg
+            else ()
         ),
         pltpu.SemaphoreType.DMA,
     )
@@ -428,6 +507,10 @@ def _momentum_asm(
     grad_p, mom_diag, grad_vel, inertia, spec, interpret
 ):
     fc = flux is not None
+    if fc:
+        # The FC flux predictor reads iteration-START grad p computed
+        # in fc.py; keep the streamed-plane contract for FC kernels.
+        spec = spec._replace(gg=False)
     transient = inertia is not None
     C = p.shape[0]
     K = len(cols)
@@ -438,11 +521,12 @@ def _momentum_asm(
     plane = functools.partial(_plane, hr=hr, C=C, Cp=Cp, Rp=Rp)
 
     planes = [plane(vel[:, 0]), plane(vel[:, 1]), plane(vel[:, 2]),
-              plane(p)]
-    if gp_axes and not (fc and not spec.p_so):
-        planes += [plane(grad_p[:, a]) for a in gp_axes]
-    elif gp_axes:
+              _plane(p, hr=2 * hr, C=C, Cp=Cp, Rp=Rp)
+              if spec.gg else plane(p)]
+    if gp_axes and fc and not spec.p_so:
         gp_axes = ()  # FC momentum with Linear p never reads grad p
+    elif gp_axes and not spec.gg:
+        planes += [plane(grad_p[:, a]) for a in gp_axes]
     if spec.rc and not fc:
         planes.append(plane(mom_diag, fill=1.0))
     if gv_axes:
@@ -457,7 +541,15 @@ def _momentum_asm(
         _momentum_kernel, tuple(cols), hr, BLOCK_ROWS, fc, spec,
         gp_axes, gv_axes, transient, n_planes,
     )
-    flags2 = jnp.pad(flags, (0, Cp - C)).reshape(Rp, LANES)
+    if spec.gg:
+        # Halo'd i32 flags plane (ANY memory, DMA'd like the field
+        # planes): in-kernel gradients need neighbor-cell flag words.
+        flags2 = jnp.pad(
+            jnp.pad(flags, (0, Cp - C)),
+            (hr * LANES, (hr + 1) * LANES),
+        ).reshape(Rp + 2 * hr + 1, LANES)
+    else:
+        flags2 = jnp.pad(flags, (0, Cp - C)).reshape(Rp, LANES)
     params = jnp.stack(
         [jnp.asarray(rho, p.dtype), jnp.asarray(mu, p.dtype),
          jnp.asarray(alpha, p.dtype), jnp.zeros((), p.dtype)]
@@ -485,7 +577,9 @@ def _momentum_asm(
             bc_values.shape, lambda r: (z32(r), z32(r)),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
+        pl.BlockSpec(memory_space=pl.ANY)
+        if spec.gg
+        else pl.BlockSpec(
             (BLOCK_ROWS, LANES),
             lambda r: (r, z32(r)),
             memory_space=pltpu.VMEM,
@@ -544,31 +638,50 @@ def _pc_kernel(
     diag_ref, off_ref, b_ref = refs[n_planes:]
     r = pl.program_id(0)
     start = pl.multiple_of(r * jnp.int32(br), br)
-    W = br + 2 * hr + 1
+    p_hr = 2 * hr if spec.gg else hr
+    halo_of = lambda n: p_hr if n == "p" else hr
     rho = params_ref[0, 0]
 
     names = ["u", "v", "w", "md"]
     if spec.rc:
-        names += ["p"] + [f"gp{a}" for a in gp_axes]
+        names += ["p"]
+        if not spec.gg:
+            names += [f"gp{a}" for a in gp_axes]
     assert len(names) == n_planes
 
     def body(*scoped):
-        bufs = dict(zip(names, scoped[:-1]))
+        bufs = dict(zip(names, scoped[:n_planes]))
+        flb = scoped[n_planes] if spec.gg else None
         sem = scoped[-1]
         for name, buf in bufs.items():
+            Wn = br + 2 * halo_of(name) + 1
             dma = pltpu.make_async_copy(
-                hbm[names.index(name)].at[pl.ds(start, W), :], buf, sem
+                hbm[names.index(name)].at[pl.ds(start, Wn), :], buf, sem
             )
             dma.start()
             dma.wait()
-        flags = flags_ref[...]
+        if spec.gg:
+            dma = pltpu.make_async_copy(
+                flags_ref.at[pl.ds(start, br + 2 * hr + 1), :], flb, sem
+            )
+            dma.start()
+            dma.wait()
+            flags = flb[hr : hr + br, :]
+        else:
+            flags = flags_ref[...]
         active = ((flags >> ACTIVE_BIT) & 1) == 1
 
         def ctr(name):
-            return bufs[name][hr : hr + br, :]
+            h = halo_of(name)
+            return bufs[name][h : h + br, :]
 
         u_c, v_c, w_c, md_c = ctr("u"), ctr("v"), ctr("w"), ctr("md")
         zero = jnp.zeros_like(u_c)
+        gp_eval = (
+            _gg_eval(cols, spec, bufs, flb, hr, p_hr, br, bc_ref, zero)
+            if spec.gg
+            else None
+        )
         if spec.rc:
             p_c = ctr("p")
             voa_c = spec.vol / md_c
@@ -582,14 +695,18 @@ def _pc_kernel(
             def nb(name):
                 if col.offset == 0:
                     return ctr(name)
-                return _shifted(bufs[name], hr, br, col.offset)
+                return _shifted(bufs[name], halo_of(name), br, col.offset)
 
             u_n, v_n, w_n, md_n = nb("u"), nb("v"), nb("w"), nb("md")
             term1 = _dot_n(u_c + u_n, v_c + v_n, w_c + w_n, col.n_out)
             if spec.rc and ax is not None:
                 p_n = nb("p")
-                gp_c = ctr(f"gp{ax}")
-                gp_n = nb(f"gp{ax}")
+                if spec.gg:
+                    gp_c = gp_eval(ax, 0)
+                    gp_n = gp_eval(ax, col.offset)
+                else:
+                    gp_c = ctr(f"gp{ax}")
+                    gp_n = nb(f"gp{ax}")
                 voa_n = spec.vol / md_n
                 term2 = (
                     (voa_c + voa_n) * (p_c - p_n) * (1.0 / col.dist_on)
@@ -625,8 +742,13 @@ def _pc_kernel(
     pl.run_scoped(
         body,
         *(
-            pltpu.VMEM((br + 2 * hr + 1, LANES), diag_ref.dtype)
-            for _ in range(n_planes)
+            pltpu.VMEM((br + 2 * halo_of(nm) + 1, LANES), diag_ref.dtype)
+            for nm in names
+        ),
+        *(
+            (pltpu.VMEM((br + 2 * hr + 1, LANES), jnp.int32),)
+            if spec.gg
+            else ()
         ),
         pltpu.SemaphoreType.DMA,
     )
@@ -648,6 +770,10 @@ def pc_assembly(
     model: LinearWeighted (spec.rc False) or Rhie-Chow (spec.rc True,
     requiring `p` and `grad_p` from the ITERATION START — exactly what
     ck_simple_step feeds its flux2)."""
+    # The non-RC pc kernel never reads p, so gg is meaningful only
+    # under Rhie-Chow (schemes like UD+SecondOrder set spec.gg for the
+    # momentum kernel alone).
+    spec = spec._replace(gg=spec.gg and spec.rc)
     C = mom_diag.shape[0]
     K = len(cols)
     hr, n_blocks, Rp, Cp = _halo_geometry(cols, C)
@@ -657,14 +783,24 @@ def pc_assembly(
     planes = [plane(vel[:, 0]), plane(vel[:, 1]), plane(vel[:, 2]),
               plane(mom_diag, fill=1.0)]  # fill avoids 0-division
     if spec.rc:
-        planes.append(plane(p))
-        planes += [plane(grad_p[:, a]) for a in gp_axes]
+        planes.append(
+            _plane(p, hr=2 * hr, C=C, Cp=Cp, Rp=Rp)
+            if spec.gg else plane(p)
+        )
+        if not spec.gg:
+            planes += [plane(grad_p[:, a]) for a in gp_axes]
     n_planes = len(planes)
 
     kern = functools.partial(
         _pc_kernel, tuple(cols), hr, BLOCK_ROWS, spec, gp_axes, n_planes
     )
-    flags2 = jnp.pad(flags, (0, Cp - C)).reshape(Rp, LANES)
+    if spec.gg:
+        flags2 = jnp.pad(
+            jnp.pad(flags, (0, Cp - C)),
+            (hr * LANES, (hr + 1) * LANES),
+        ).reshape(Rp + 2 * hr + 1, LANES)
+    else:
+        flags2 = jnp.pad(flags, (0, Cp - C)).reshape(Rp, LANES)
     params = jnp.stack(
         [jnp.asarray(rho, vel.dtype)] + [jnp.zeros((), vel.dtype)] * 3
     )[None, :]
@@ -690,7 +826,9 @@ def pc_assembly(
                 bc_values.shape, lambda r: (z32(r), z32(r)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
+            pl.BlockSpec(memory_space=pl.ANY)
+            if spec.gg
+            else pl.BlockSpec(
                 (BLOCK_ROWS, LANES),
                 lambda r: (r, z32(r)),
                 memory_space=pltpu.VMEM,
@@ -844,6 +982,7 @@ def fc_pc_assembly(
     fc.ck_flux_h / fc.ck_fc_pressure_system; the cell volume comes from
     spec.vol (uniform box). With spec.rc, `grad_p` is the iteration-
     start pressure gradient (fc.ck_flux_h's term3 input)."""
+    spec = spec._replace(gg=False)  # FC kernels stream grad-p planes
     C = mom_diag.shape[0]
     K = len(cols)
     hr, n_blocks, Rp, Cp = _halo_geometry(cols, C)
@@ -924,18 +1063,22 @@ def vmem_estimate(cols, spec: AsmSpec, fc: bool, transient: bool) -> int:
     H = max(abs(c.offset) for c in cols)
     hr = -(-H // LANES) if H else 1
     W = BLOCK_ROWS + 2 * hr + 1
+    gg = spec.gg and not fc
     n_planes = 4
-    if spec.rc or spec.p_so:
+    if (spec.rc or spec.p_so) and not gg:
         n_planes += len(_gp_axes(cols, spec))
     if spec.rc and not fc:
         n_planes += 1
     n_planes += 3 * len(_gv_axes(cols, spec))
+    extra = 0
+    if gg:
+        extra = 2 * hr + W  # doubled p halo + the i32 flags window
     blocked = 4 + K  # diag + 3 b + flags + off[K]
     if transient:
         blocked += 4
     if fc:
         blocked += 2 * K  # flux in + flux_h out
-    return 4 * LANES * (n_planes * W + blocked * BLOCK_ROWS)
+    return 4 * LANES * ((n_planes * W) + extra + blocked * BLOCK_ROWS)
 
 
 def column_specs(mesh, table) -> "tuple | None":

@@ -578,15 +578,37 @@ def slice_nbr_values(plan, x, interpret: bool = False):
     impl = (
         _slice_nbr_pallas if plan.tile == LANES else _slice_nbr_pallas_wide
     )
-    y = impl(
-        plan.col_tile,
-        plan.starts,
-        xp,
+    kw = dict(
         tile=plan.tile,
         n_max=plan.n_max,
         win_rows=plan.win_rows,
         interpret=interpret,
-    )[:, :, :C]  # [B, K, C]
+    )
+
+    # Same custom-vmap treatment as _vmappable_kernel: jax.vmap over
+    # this call unrolls into per-element UNBATCHED Mosaic lowerings
+    # instead of relying on automatic batching of a kernel with manual
+    # run_scoped DMA (unexercised on hardware).
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def nbr(col_tile, starts, xb):
+        return impl(col_tile, starts, xb, **kw)
+
+    @nbr.def_vmap
+    def _rule(axis_size, in_batched, col_tile, starts, xb):
+        cb, sb, bb = in_batched
+        outs = [
+            nbr(
+                col_tile[i] if cb else col_tile,
+                starts[i] if sb else starts,
+                xb[i] if bb else xb,
+            )
+            for i in range(axis_size)
+        ]
+        return jnp.stack(outs), True
+
+    y = nbr(plan.col_tile, plan.starts, xp)[:, :, :C]  # [B, K, C]
     K = y.shape[1]
     return jnp.transpose(y, (2, 1, 0)).reshape((C, K) + rest)
 

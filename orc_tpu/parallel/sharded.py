@@ -493,7 +493,10 @@ def solve_steady_sharded(
     from orc_tpu.solver.simple import _pallas_asm_spec
 
     pallas_asm = (
-        _pallas_asm_spec(mesh, table, settings, ck=use_ck or None, fc=use_fc)
+        _pallas_asm_spec(
+            mesh, table, settings, ck=use_ck or None, fc=use_fc,
+            sharded=True,
+        )
         if use_ck and partition.local_mesh.neighbor_offsets is not None
         else None
     )
@@ -633,7 +636,7 @@ def solve_transient_sharded(
     pallas_asm = (
         _pallas_asm_spec(
             mesh, table, settings, ck=use_ck or None, fc=use_fc,
-            transient=True,
+            transient=True, sharded=True,
         )
         if use_ck and partition.local_mesh.neighbor_offsets is not None
         else None

@@ -43,6 +43,7 @@ from orc_tpu.ops.interpolation import face_flux, face_pressure
 from orc_tpu.ops.spmv import EllMatrix
 from orc_tpu.solver.krylov import _no_refresh, iterative_solve
 from orc_tpu.utils.settings import (
+    GradientReconstruction,
     MomentumScheme,
     NumericalSettings,
     PressureInterpolation,
@@ -477,7 +478,11 @@ def ck_simple_step(
         else nbr_values(mesh, vel, ck.interior)
     )
     grad_p = grad_p_nbr = None
-    if need_gp:
+    asm_gg = pallas_asm is not None and pallas_asm[1].gg
+    if need_gp and not asm_gg:
+        # asm_gg: the fused kernels compute the Green-Gauss pressure
+        # gradient IN-KERNEL from the p halo window — no separate XLA
+        # gradient pass, no grad-p planes streamed through HBM.
         gp_fn = ck_lsq_pressure_gradient if lsq else ck_pressure_gradient
         grad_p = comm.refresh(gp_fn(mesh, ck, bc, p))
         if pallas_asm is None:
@@ -792,7 +797,9 @@ def _make_chunk_runner(
     return run
 
 
-def _pallas_asm_spec(mesh, table, settings, ck, fc=False, transient=False):
+def _pallas_asm_spec(
+    mesh, table, settings, ck, fc=False, transient=False, sharded=False
+):
     """Static (cols, AsmSpec, interpret) for the fused assembly kernels
     when the configuration is eligible (ops/pallas_assembly.py), else
     None. Opt out with ORC_TPU_PALLAS_ASM=0; ORC_TPU_PALLAS_ASM=force
@@ -801,7 +808,12 @@ def _pallas_asm_spec(mesh, table, settings, ck, fc=False, transient=False):
     TVD_DC), Linear[Weighted] AND Rhie-Chow face velocities,
     Linear[Weighted] AND SecondOrder face pressures, the transient
     inertia term, and momentum sources (added in XLA after the
-    kernel)."""
+    kernel).
+
+    `sharded`: the slab partition's 1-deep ghost layer cannot feed the
+    in-kernel neighbor gradient (needs p + flags 2 layers deep), so
+    sharded runs keep AsmSpec.gg off and stream ppermute-refreshed
+    grad-p planes instead."""
     mode = os.environ.get("ORC_TPU_PALLAS_ASM", "1")
     if (
         mode == "0"
@@ -853,12 +865,26 @@ def _pallas_asm_spec(mesh, table, settings, ck, fc=False, transient=False):
     cols = column_specs(mesh, table)
     if cols is None:
         return None
+    # In-kernel Green-Gauss pressure gradient: eliminates the separate
+    # XLA gradient pass + its grad-p planes (round-5; lifts the
+    # reference-default CD1+SecondOrder+RhieChow assembly from 40% of
+    # roofline). Only for GG_CELL gradients (LSQ gradients keep the
+    # streamed plane), non-FC, single-device (see docstring).
+    gg = (
+        (rc or p_so)
+        and not fc
+        and not sharded
+        and settings.gradient_reconstruction
+        == GradientReconstruction.GREEN_GAUSS_CELL
+        and os.environ.get("ORC_TPU_PALLAS_GG", "1") != "0"
+    )
     spec = AsmSpec(
         scheme=scheme,
         rc=rc,
         p_so=p_so,
         psi=settings.tvd_psi if scheme == "tvd_dc" else None,
         vol=float(mesh.cell_volume[0]),
+        gg=gg,
     )
     if vmem_estimate(cols, spec, fc, transient) > VMEM_BUDGET_BYTES:
         return None

@@ -48,7 +48,7 @@ def main():
     interior = (nb >= 0) & (nb < C) & (rng.random((C, K)) < 0.9)
     nb = np.where(interior, np.clip(nb, 0, C - 1), np.arange(C)[:, None])
 
-    plan = build_slice_plan(nb, interior)
+    plan = build_slice_plan(nb, interior, build_col_tile=True)
     print(
         f"plan: ntiles={plan.ntiles} n_max={plan.n_max} "
         f"win_rows={plan.win_rows}",
@@ -134,7 +134,7 @@ def main():
 
     # 4b. wide-tile (1024) Pallas slice kernel: one roll retires 8
     # output rows (mesh/reorder.build_best_slice_plan rationale).
-    plan_w = build_slice_plan(nb, interior, tile=1024)
+    plan_w = build_slice_plan(nb, interior, tile=1024, build_col_tile=True)
     if plan_w is not None:
         print(
             f"wide plan: ntiles={plan_w.ntiles} n_max={plan_w.n_max} "

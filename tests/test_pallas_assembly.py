@@ -191,12 +191,23 @@ def _kernel_inputs(mesh, table):
     return ck, cols, flags, bcv
 
 
+@pytest.mark.parametrize("gg", [False, True], ids=["plane", "gg"])
 @pytest.mark.parametrize("scheme", sorted(SCHEMES))
 @pytest.mark.parametrize("name", sorted(CASES))
-def test_momentum_assembly_matches_ck(name, scheme):
+def test_momentum_assembly_matches_ck(name, scheme, gg):
+    """gg=True: the kernel computes the Green-Gauss pressure gradient
+    IN-KERNEL from the doubled-halo p window (AsmSpec.gg, round 5)
+    instead of reading streamed grad-p planes; both must match the ck
+    reference."""
     mesh, table = CASES[name]()
     assert mesh.ck_constants is not None
     settings = _settings(scheme)
+    if gg and not (
+        settings.velocity_interpolation == VelocityInterpolation.RHIE_CHOW
+        or settings.pressure_interpolation
+        == PressureInterpolation.SECOND_ORDER
+    ):
+        pytest.skip("gg only reads the gradient under RC / SecondOrder")
     rho, mu = 1.0, 1e-3
     vel, p, md = _fields(mesh)
 
@@ -206,10 +217,10 @@ def test_momentum_assembly_matches_ck(name, scheme):
     assert A_ref.diag.ndim == 1  # shared-matrix form
 
     _, cols, flags, bcv = _kernel_inputs(mesh, table)
-    spec = _spec_for(mesh, settings)
+    spec = _spec_for(mesh, settings)._replace(gg=gg)
     diag, off, b3 = momentum_assembly(
         vel, p, bcv, flags, cols, rho, mu, 0.7,
-        grad_p=grad_p, mom_diag=md, grad_vel=grad_v,
+        grad_p=None if gg else grad_p, mom_diag=md, grad_vel=grad_v,
         spec=spec, interpret=True,
     )
     np.testing.assert_allclose(
@@ -255,14 +266,17 @@ def test_momentum_assembly_inertia(name):
     )
 
 
+@pytest.mark.parametrize("gg", [False, True], ids=["plane", "gg"])
 @pytest.mark.parametrize("scheme", ["ud-linear", "default"])
 @pytest.mark.parametrize("name", sorted(CASES))
-def test_pc_assembly_matches_ck(name, scheme):
+def test_pc_assembly_matches_ck(name, scheme, gg):
     from orc_tpu.ops.ck_ops import ck_pressure_correction
     from orc_tpu.ops.pallas_assembly import pc_assembly
 
     mesh, table = CASES[name]()
     settings = _settings(scheme)
+    if gg and scheme != "default":
+        pytest.skip("the pc kernel reads the gradient only under RC")
     rho = 1.0
     vel, p, md = _fields(mesh, seed=7)
 
@@ -283,10 +297,10 @@ def test_pc_assembly_matches_ck(name, scheme):
     A_ref, b_ref = ck_pressure_correction(mesh, ck, bc, rho, F2, md3)
 
     _, cols, flags, bcv = _kernel_inputs(mesh, table)
-    spec = _spec_for(mesh, settings)
+    spec = _spec_for(mesh, settings)._replace(gg=gg)
     diag, off, b = pc_assembly(
         vel, md, bcv, flags, cols, rho,
-        p=p, grad_p=grad_p, spec=spec, interpret=True,
+        p=p, grad_p=None if gg else grad_p, spec=spec, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(diag), np.asarray(A_ref.diag), rtol=2e-5, atol=1e-6

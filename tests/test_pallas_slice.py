@@ -35,7 +35,7 @@ def _random_banded(C, K=4, bw=10, seed=0, empty_tiles=()):
     for et in empty_tiles:
         valid[t == et] = False
     nbrs = np.where(valid, nbrs, base)
-    plan = build_slice_plan(nbrs, valid, tile=128)
+    plan = build_slice_plan(nbrs, valid, tile=128, build_col_tile=True)
     assert plan is not None
     off = (rng.standard_normal((C, K)) * valid).astype(np.float32)
     diag = (rng.standard_normal(C) + 5.0).astype(np.float32)
@@ -225,7 +225,7 @@ def test_wide_tile_kernels_match_gather():
     nbrs = base + rng.integers(-bw, bw + 1, (C, K))
     valid = (nbrs >= 0) & (nbrs < C) & (nbrs != base)
     nbrs = np.where(valid, nbrs, base)
-    plan = build_slice_plan(nbrs, valid, tile=1024)
+    plan = build_slice_plan(nbrs, valid, tile=1024, build_col_tile=True)
     assert plan is not None and plan.tile == 1024
     off = (rng.standard_normal((C, K)) * valid).astype(np.float32)
     diag = (rng.standard_normal(C) + 5.0).astype(np.float32)
@@ -267,5 +267,5 @@ def test_best_plan_selector():
     nbrs = base + rng.integers(-8, 9, (C, K))
     valid = (nbrs >= 0) & (nbrs < C) & (nbrs != base)
     nbrs = np.where(valid, nbrs, base)
-    plan = build_best_slice_plan(nbrs, valid)
+    plan = build_best_slice_plan(nbrs, valid, build_col_tile=True)
     assert plan is not None and plan.tile == 128
