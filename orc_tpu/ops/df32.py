@@ -19,6 +19,14 @@ Krylov iterations):
 TPU note: JAX exposes no scalar FMA, so exact two-products use Dekker
 splitting (2^12+1), which is exact in round-to-nearest f32.
 
+BACKEND caveat (measured, round 5): these error-free transformations
+survive `jax.jit` on XLA:TPU exactly (chain of 39 two_prod/two_sum
+steps: 2.8e-13 vs f64), but XLA:CPU's LLVM pipeline rewrites them away
+under jit (same chain: 3.9e-7 — f32 epsilon; none of the
+xla_cpu_enable_fast_math / excess-precision flags restore it; eager
+per-op dispatch is unaffected). Consumers that must be correct on both
+backends (solver/refine.py) use native f64 on CPU instead.
+
 Reference counterpart: none — the reference is CPU f64 throughout
 (lib.rs:213). This is the TPU answer to "f64 accuracy at f32 speed";
 measured numbers live in BASELINE.md (round 4) and

@@ -637,3 +637,250 @@ def slice_spmv_pallas(diag, coef, plan, x, interpret: bool = False):
     xp = jnp.pad(x, (plan.pad_lo, plan.pad_hi))
     y_off = _vmappable_kernel(plan, interpret)(coef, plan.starts, xp)[:C]
     return diag * x + y_off
+
+
+# ---------------------------------------------------------------------
+# Exact-accumulation (error-tracked) slice SpMV — the df32 residual
+# kernel. v5e rejects f64 Pallas operands, so an f64-ACCURACY irregular
+# solve cannot run its SpMV in this kernel family directly; instead the
+# iterative-refinement path (solver/refine.py) computes its
+# high-precision residual from f32 planes:
+#
+#     A x = (Ah + Al)(xh + xl)
+#         = [Ah xh exact]  +  Ah xl  +  Al xh  (+ Al xl ~ 2^-48, drop)
+#
+# where the dominant Ah xh term is produced HERE with every product an
+# error-free two-product (Dekker) and every accumulation an error-free
+# two-sum (Knuth), the rounding errors collected into a second output
+# plane. ~6x the VPU work of the plain kernel — used once per
+# refinement step, not per Krylov iteration. Reference counterpart:
+# none (the reference is f64 CPU throughout, lib.rs:213).
+# ---------------------------------------------------------------------
+
+
+def _kernel_exact(n_max, wr, qmin_ref, rel_ref, coef_ref, x_hbm, y_ref, e_ref):
+    from orc_tpu.ops.df32 import two_prod, two_sum
+
+    g = pl.program_id(0)
+    qmin = qmin_ref[g]
+
+    def body(win, sem):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(qmin, wr), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lanes_i = jnp.int32(LANES)  # see _kernel: scalars MUST be i32
+        for t in range(GROUP):
+            acc = jnp.zeros((1, LANES), y_ref.dtype)
+            err = jnp.zeros((1, LANES), y_ref.dtype)
+            for j in range(n_max):
+                rel = rel_ref[t, j]
+                rq = jax.lax.div(rel, lanes_i)
+                rr = jax.lax.rem(rel, lanes_i)
+                pair = win[pl.ds(rq, 2), :]
+                rolled = pltpu.roll(
+                    pair, jax.lax.rem(lanes_i - rr, lanes_i), axis=1
+                )
+                sl = jnp.where(
+                    lane < lanes_i - rr, rolled[0:1, :], rolled[1:2, :]
+                )
+                ph, pe = two_prod(coef_ref[t, j, :].reshape(1, LANES), sl)
+                acc, te = two_sum(acc, ph)
+                err = err + (te + pe)
+            y_ref[t, :] = acc[0]
+            e_ref[t, :] = err[0]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((wr, LANES), y_ref.dtype),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+def _kernel_wide_exact(
+    n_max, wr, T, qmin_ref, rel_ref, coef_ref, x_hbm, y_ref, e_ref
+):
+    from orc_tpu.ops.df32 import two_prod, two_sum
+
+    g = pl.program_id(0)
+    qmin = qmin_ref[g]
+    row = jax.lax.rem(g, jnp.int32(8))  # see _kernel_wide
+
+    def body(win, sem):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(qmin, wr), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lanes_i = jnp.int32(LANES)
+        acc = jnp.zeros((T, LANES), y_ref.dtype)
+        err = jnp.zeros((T, LANES), y_ref.dtype)
+        for j in range(n_max):
+            rel = rel_ref[row, j]
+            rq = jax.lax.div(rel, lanes_i)
+            rr = jax.lax.rem(rel, lanes_i)
+            block = win[pl.ds(rq, T + 1), :]
+            rolled = pltpu.roll(
+                block, jax.lax.rem(lanes_i - rr, lanes_i), axis=1
+            )
+            sl = jnp.where(
+                lane < lanes_i - rr, rolled[:T, :], rolled[1:, :]
+            )
+            ph, pe = two_prod(coef_ref[0, j], sl)
+            acc, te = two_sum(acc, ph)
+            err = err + (te + pe)
+        y_ref[0] = acc
+        e_ref[0] = err
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((wr, LANES), y_ref.dtype),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "n_max", "win_rows", "interpret")
+)
+def _slice_spmv_exact(
+    coef,
+    starts,
+    x_padded,
+    tile: int,
+    n_max: int,
+    win_rows: int,
+    interpret: bool = False,
+):
+    """(y_off, err) with y_off + err == the EXACT per-row sum of
+    coef * x slice products to first order (see module note above).
+    Mirrors _slice_spmv_pallas / _slice_spmv_pallas_wide."""
+    if tile == LANES:
+        ntiles = coef.shape[0]
+        ngroups = -(-ntiles // GROUP)
+        ntp = ngroups * GROUP
+        if ntp != ntiles:
+            starts = jnp.concatenate(
+                [starts] + [starts[-1:]] * (ntp - ntiles), axis=0
+            )
+            coef = jnp.pad(coef, ((0, ntp - ntiles), (0, 0), (0, 0)))
+        q = starts // LANES
+        qmin = q.reshape(ngroups, GROUP * n_max).min(axis=1)
+        rel = (
+            starts - jnp.repeat(qmin, GROUP)[:, None] * LANES
+        ).astype(jnp.int32)
+        n = x_padded.shape[0]
+        nrows = -(-n // LANES) + win_rows
+        x2 = jnp.pad(x_padded, (0, nrows * LANES - n)).reshape(
+            nrows, LANES
+        )
+        z32 = lambda g: jnp.int32(0)
+        kern = functools.partial(_kernel_exact, n_max, win_rows)
+        y, e = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((ntp, LANES), x_padded.dtype),
+                jax.ShapeDtypeStruct((ntp, LANES), x_padded.dtype),
+            ),
+            grid=(ngroups,),
+            in_specs=[
+                pl.BlockSpec(
+                    (ngroups,), lambda g: (z32(g),),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (GROUP, n_max),
+                    lambda g: (g, z32(g)),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (GROUP, n_max, LANES),
+                    lambda g: (g, z32(g), z32(g)),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (GROUP, LANES), lambda g: (g, z32(g)),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (GROUP, LANES), lambda g: (g, z32(g)),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            interpret=interpret,
+        )(qmin.astype(jnp.int32), rel, coef, x2)
+        return y.reshape(ntp * LANES), e.reshape(ntp * LANES)
+
+    T = tile // LANES
+    assert T * LANES == tile and T > 1
+    ntiles = coef.shape[0]
+    wr = win_rows
+    q = starts // LANES
+    qmin = q.min(axis=1)
+    rel = (starts - qmin[:, None] * LANES).astype(jnp.int32)
+    nt8 = -(-ntiles // 8) * 8
+    rel = jnp.pad(rel, ((0, nt8 - ntiles), (0, 0)))
+    n = x_padded.shape[0]
+    nrows = -(-n // LANES) + wr
+    x2 = jnp.pad(x_padded, (0, nrows * LANES - n)).reshape(nrows, LANES)
+    coef4 = coef.reshape(ntiles, n_max, T, LANES)
+    z32 = lambda g: jnp.int32(0)
+    div8 = lambda g: jax.lax.div(g, jnp.int32(8))
+    kern = functools.partial(_kernel_wide_exact, n_max, wr, T)
+    y, e = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, T, LANES), x_padded.dtype),
+            jax.ShapeDtypeStruct((ntiles, T, LANES), x_padded.dtype),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (ntiles,), lambda g: (z32(g),), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (8, n_max),
+                lambda g: (div8(g), z32(g)),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_max, T, LANES),
+                lambda g: (g, z32(g), z32(g), z32(g)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, T, LANES),
+                lambda g: (g, z32(g), z32(g)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, T, LANES),
+                lambda g: (g, z32(g), z32(g)),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=interpret,
+    )(qmin.astype(jnp.int32), rel, coef4, x2)
+    return y.reshape(ntiles * tile), e.reshape(ntiles * tile)
+
+
+def slice_spmv_exact(coef, plan, x, interpret: bool = False):
+    """Error-tracked off-diagonal slice product for the df32 residual:
+    returns (y, err) with y + err the first-order-exact row sums of
+    coef * x over the slice plan (no diagonal term). x: [C] f32."""
+    C = plan.n_cells
+    xp = jnp.pad(x, (plan.pad_lo, plan.pad_hi))
+    y, e = _slice_spmv_exact(
+        coef, plan.starts, xp,
+        tile=plan.tile, n_max=plan.n_max, win_rows=plan.win_rows,
+        interpret=interpret,
+    )
+    return y[:C], e[:C]

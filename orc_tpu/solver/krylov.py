@@ -412,6 +412,26 @@ def iterative_solve(
     `null_scale` lets the multigrid cycles build plain-mean projections
     for their replicated all-active coarse levels."""
     method = settings.solver_type
+    from orc_tpu.utils.settings import SolverPrecision
+
+    if (
+        settings.precision == SolverPrecision.DF32_IR
+        and A.diag.dtype == jnp.float64
+        and refresh is _no_refresh
+        and method
+        in (SolutionMethod.BICGSTAB, SolutionMethod.JACOBI,
+            SolutionMethod.JACOBI_SMOOTH)
+    ):
+        # f64-accuracy via double-float iterative refinement: plain
+        # f32 inner solves on the fast SpMV paths + one df32 residual
+        # per refinement (solver/refine.py). Replaces the irregular
+        # f64 element-gather fallback (~400x, BASELINE.md).
+        from orc_tpu.solver.refine import df32_ir_solve
+
+        return df32_ir_solve(
+            A, b, x0, settings, axis_sum, project,
+            refine_steps=settings.refine_steps,
+        )
     if (
         refresh is _no_refresh
         and A.plan is not None

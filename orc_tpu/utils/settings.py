@@ -203,6 +203,25 @@ class PreconditionMethod(enum.Enum):
     JACOBI = "jacobi"
 
 
+class SolverPrecision(enum.Enum):
+    """Arithmetic mode for the linear solves (no reference counterpart:
+    the reference is CPU f64 throughout, lib.rs:213 — this is the
+    TPU-native replacement for that stance).
+
+    NATIVE: solve in the system's dtype (f64 = XLA software emulation
+    on v5e; irregular-mesh f64 additionally falls back to the element-
+    gather SpMV because Pallas rejects f64 operands).
+
+    DF32_IR: f64-accuracy via double-float (2xf32) iterative
+    refinement — plain f32 inner solves on the fast shift / Pallas
+    slice paths plus one df32-accurate residual per refinement step
+    (solver/refine.py). Requires an f64 system; ignored for f32
+    systems and sharded runs."""
+
+    NATIVE = "native"
+    DF32_IR = "df32_ir"
+
+
 class RestrictionMethod(enum.Enum):
     """AMG coarsening strategy (reference: lib.rs:197-201)."""
 
@@ -305,6 +324,16 @@ class MatrixSolverSettings:
     # stream only — fields, SpMV and updates stay f32). No effect on
     # f64 runs. (SURVEY §7 design stance: compensated-f32 reductions.)
     compensated_f32: bool = False
+    # f64-accuracy solves from f32 kernels via iterative refinement
+    # (solver/refine.py) — see SolverPrecision. Only consulted for f64
+    # systems on a single device.
+    precision: SolverPrecision = SolverPrecision.NATIVE
+    # Refinement steps for DF32_IR (each runs one full inner solve +
+    # one df32 residual; 3 reaches the ~2^-45*kappa accuracy floor).
+    refine_steps: int = 3
+
+    def replace_precision(self, p: SolverPrecision) -> "MatrixSolverSettings":
+        return dataclasses.replace(self, precision=p)
 
     def momentum_solver(self) -> "MatrixSolverSettings":
         """The settings used for warm-started transport solves

@@ -61,17 +61,30 @@ def main():
     import os
 
     use_fc = os.environ.get("ORC_TPU_BENCH_FC", "0") == "1"
+    # ORC_TPU_BENCH_SCHEME=default -> the reference's own default
+    # numerics (CD1 + SecondOrder pressure + Rhie-Chow, lib.rs:58-74);
+    # anything else -> the UD + LinearWeighted fast pair the scale
+    # table has always used.
+    ref_default = os.environ.get("ORC_TPU_BENCH_SCHEME", "") == "default"
     from orc_tpu.utils.settings import PressureVelocityCoupling
 
     settings = NumericalSettings(
-        momentum=MomentumScheme.UD,
+        momentum=MomentumScheme.CD1 if ref_default else MomentumScheme.UD,
         pressure_velocity_coupling=(
             PressureVelocityCoupling.SIMPLE_FC
             if use_fc
             else PressureVelocityCoupling.SIMPLE
         ),
-        pressure_interpolation=PressureInterpolation.LINEAR_WEIGHTED,
-        velocity_interpolation=VelocityInterpolation.LINEAR_WEIGHTED,
+        pressure_interpolation=(
+            PressureInterpolation.SECOND_ORDER
+            if ref_default
+            else PressureInterpolation.LINEAR_WEIGHTED
+        ),
+        velocity_interpolation=(
+            VelocityInterpolation.RHIE_CHOW
+            if ref_default
+            else VelocityInterpolation.LINEAR_WEIGHTED
+        ),
         matrix_solver=MatrixSolverSettings(
             solver_type=SolutionMethod.BICGSTAB,
             iterations=50,

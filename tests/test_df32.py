@@ -5,6 +5,7 @@ relative — two orders tighter than plain f32's 2^-24 — using only f32
 vector ops. Speed is measured on the chip (scripts/bench_df32.py,
 BASELINE.md round 4)."""
 
+import jax
 import numpy as np
 
 import jax.numpy as jnp
@@ -103,3 +104,130 @@ def test_df_spmv_vs_f64_shift():
     assert np.median(rel_df) < 1e-14, np.median(rel_df)
     # at least 1e4x tighter than plain f32 on this data
     assert np.median(rel_df) < 1e-4 * np.median(rel_f32)
+
+
+# --- round 5: df32 iterative refinement (solver/refine.py) ---
+
+
+def _banded_system(C=2000, K=4, seed=0, band=40):
+    """Diagonally-dominant f64 system over a random banded adjacency
+    with a slice plan (the irregular-mesh matrix shape)."""
+    from orc_tpu.mesh.reorder import build_slice_plan
+    from orc_tpu.ops.spmv import EllMatrix
+
+    rng = np.random.default_rng(seed)
+    nbrs = np.clip(
+        np.arange(C)[:, None] + rng.integers(-band, band, (C, K)), 0, C - 1
+    )
+    valid = nbrs != np.arange(C)[:, None]
+    plan = build_slice_plan(nbrs, valid, tile=128)
+    assert plan is not None
+    off = rng.standard_normal((C, K)) * valid * 0.2
+    diag = np.abs(off).sum(1) + rng.uniform(1.0, 2.0, C)
+    A = EllMatrix(
+        diag=jnp.asarray(diag), off=jnp.asarray(off),
+        neighbors=jnp.asarray(nbrs), offsets=None, plan=plan,
+    )
+    x_true = rng.standard_normal(C)
+    return A, jnp.asarray(x_true), A.matvec(jnp.asarray(x_true))
+
+
+def _ir_settings():
+    from orc_tpu.utils.settings import (
+        MatrixSolverSettings,
+        PreconditionMethod,
+        SolutionMethod,
+        SolverPrecision,
+    )
+
+    return MatrixSolverSettings(
+        solver_type=SolutionMethod.BICGSTAB,
+        iterations=100,
+        relative_convergence_threshold=1e-8,
+        preconditioner=PreconditionMethod.JACOBI,
+        precision=SolverPrecision.DF32_IR,
+    )
+
+
+def test_df32_ir_slice_plan_accuracy():
+    """DF32_IR on an irregular (slice-plan) f64 system reaches f64-level
+    accuracy with plain-f32 inner solves (solver/refine.py)."""
+    from orc_tpu.solver.krylov import iterative_solve
+
+    A, x_true, b = _banded_system()
+    x, info = iterative_solve(A, b, jnp.zeros_like(b), _ir_settings())
+    assert x.dtype == b.dtype
+    err = np.abs(np.asarray(x) - np.asarray(x_true)).max()
+    err /= np.abs(np.asarray(x_true)).max()
+    assert err < 1e-11, err
+    assert not bool(info.diverged)
+
+
+def test_df32_ir_structured_accuracy():
+    """DF32_IR on a structured (shift-offset) f64 system."""
+    from orc_tpu.mesh import structured_box_mesh
+    from orc_tpu.ops.spmv import EllMatrix
+    from orc_tpu.solver.krylov import iterative_solve
+
+    mesh, _ = structured_box_mesh(32, 32, 1)
+    rng = np.random.default_rng(3)
+    C = mesh.n_cells
+    interior = np.asarray(
+        mesh.face_interior[mesh.cell_faces] & mesh.cell_face_mask
+    )
+    off = rng.standard_normal(interior.shape) * interior * 0.2
+    A = EllMatrix(
+        diag=jnp.asarray(np.abs(off).sum(1) + 1.5),
+        off=jnp.asarray(off),
+        neighbors=None,
+        offsets=mesh.neighbor_offsets,
+    )
+    x_true = rng.standard_normal(C)
+    b = A.matvec(jnp.asarray(x_true))
+    x, info = iterative_solve(A, b, jnp.zeros_like(b), _ir_settings())
+    err = np.abs(np.asarray(x) - x_true).max() / np.abs(x_true).max()
+    assert err < 1e-11, err
+
+
+def test_df32_ir_batched_vmap():
+    """DF32_IR under jax.vmap (the [3,C] batched momentum solve
+    shape)."""
+    from orc_tpu.solver.krylov import iterative_solve
+
+    A, x_true, b = _banded_system(C=1000, seed=7)
+    b3 = jnp.stack([b, 2.0 * b, -b])
+    xs, info = jax.vmap(
+        lambda bb: iterative_solve(
+            A, bb, jnp.zeros_like(bb), _ir_settings()
+        )
+    )(b3)
+    scale = jnp.asarray([1.0, 2.0, -1.0])[:, None]
+    ref = scale * x_true[None, :]
+    err = np.abs(np.asarray(xs) - np.asarray(ref)).max()
+    err /= np.abs(np.asarray(ref)).max()
+    assert err < 1e-11, err
+
+
+def test_exact_slice_kernel_values_interpret():
+    """Structural check of the exact-accumulation slice kernel
+    (interpret mode): the hi output matches the plain slice product at
+    f32 tolerance and the error plane is epsilon-scale. NOTE the
+    error-tracking EXACTNESS cannot be certified on XLA:CPU (its LLVM
+    pipeline rewrites the EFTs away under jit — see ops/df32.py);
+    the chip-measured accuracy lives in BASELINE.md round 5."""
+    from orc_tpu.ops.df32 import df_from_f64
+    from orc_tpu.ops.pallas_slice import slice_spmv_exact
+    from orc_tpu.ops.spmv import slice_spmv
+
+    A, x_true, b = _banded_system(C=384, K=3, seed=11, band=8)
+    Ap = A.prepare()
+    ch, _ = df_from_f64(Ap.off)
+    xh, _ = df_from_f64(x_true)
+    y, e = slice_spmv_exact(ch, Ap.plan, xh, interpret=True)
+    ref = slice_spmv(
+        jnp.zeros_like(xh), ch, Ap.plan, xh
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+    assert float(jnp.abs(e).max()) < 1e-5 * float(jnp.abs(y).max()) + 1e-7
