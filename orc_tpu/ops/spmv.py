@@ -49,7 +49,7 @@ class EllMatrix:
     """
 
     diag: jax.Array
-    off: jax.Array
+    off: "jax.Array | tuple"
     neighbors: jax.Array
     offsets: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True)
@@ -68,6 +68,28 @@ class EllMatrix:
         if self.slice_layout:
             return slice_spmv(self.diag, self.off, self.plan, x)
         return ell_spmv(self.diag, self.off, self.neighbors, x, self.offsets)
+
+    def split_columns(self) -> "EllMatrix":
+        """Pre-slice `off` into its K per-offset columns (a K-tuple of
+        [..., C] arrays) BEFORE entering a solver loop.
+
+        Inside a `lax.while_loop` body, `off[..., k]` is re-sliced —
+        and, with the minor-dim-K layout the assembly graph produces,
+        re-LAYOUTED — on every iteration: measured 45% of a SIMPLE
+        iteration at 9.4M cells (profile_trace.py fusion.142/144, six
+        [C,1] T(1,128) copies per sweep/BiCGSTAB step, ~2.6 ms each).
+        Splitting once per solve moves those copies out of the loop;
+        the shift SpMV then reads loop-invariant contiguous vectors.
+
+        Only meaningful for structured-offsets matrices (the slice-plan
+        path converts layouts in `prepare()` instead). No-op if already
+        split."""
+        if self.offsets is None or isinstance(self.off, tuple):
+            return self
+        K = self.off.shape[-1]
+        return self.with_values(
+            self.diag, tuple(self.off[..., k] for k in range(K))
+        )
 
     def prepare(self) -> "EllMatrix":
         """One-time (per solve) conversion to the slice-column layout
@@ -134,6 +156,8 @@ class EllMatrix:
                 inv_d, [(0, 0)] * len(batch) + [(0, cpad)]
             ).reshape(*batch, p.ntiles, 1, p.tile)
             off_scaled = self.off * inv_d_t
+        elif isinstance(self.off, tuple):
+            off_scaled = tuple(o * inv_d for o in self.off)
         else:
             off_scaled = self.off * inv_d[..., None]
         return (
@@ -171,6 +195,8 @@ _PALLAS_MIN_CELLS = 262144
 def _pallas_eligible(diag, off, x, offsets):
     if not _PALLAS_SPMV or offsets is None:
         return False
+    if isinstance(off, tuple):
+        return False  # column-split form (split_columns) — XLA path
     if x.ndim != 1 or diag.ndim != 1 or off.ndim != 2:
         return False
     if x.dtype != jnp.float32:
@@ -198,7 +224,8 @@ def ell_spmv(diag, off, neighbors, x, offsets=None):
         y = diag * x
         for k, d in enumerate(offsets):
             xk = jnp.roll(x, -d, axis=-1) if d != 0 else x
-            y = y + off[..., k] * xk
+            col = off[k] if isinstance(off, tuple) else off[..., k]
+            y = y + col * xk
         return y
     xg = x[..., neighbors]  # [..., C, K]
     return diag * x + jnp.sum(off * xg, axis=-1)

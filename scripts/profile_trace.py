@@ -62,8 +62,16 @@ def main():
     ck_diff = ck_diffusion(
         mesh, ck, ck_bc(ck, zc, zs, zv), jnp.asarray(mu, mesh.dtype)
     )
+    # Profile the SHIPPED configuration: fused assembly kernels exactly
+    # as solve_steady picks them (ORC_TPU_PALLAS_ASM=0 opts out).
+    from orc_tpu.solver.simple import _pallas_asm_spec
+
+    pallas_asm = _pallas_asm_spec(mesh, table, settings, ck)
+    print(f"fused assembly kernels: {pallas_asm is not None}",
+          file=sys.stderr)
     run = _make_chunk_runner(
-        mesh, settings, diff, iters, {}, ck=ck, ck_diff=ck_diff, maybe_singular=False,
+        mesh, settings, diff, iters, {}, ck=ck, ck_diff=ck_diff,
+        pallas_asm=pallas_asm, maybe_singular=False,
     )
     state = initial_state(mesh)
     state, _ = run(state, zc, zs, zv, rho, mu)
