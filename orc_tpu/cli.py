@@ -216,13 +216,23 @@ def cmd_run(args):
                 # raw-file cell order the VTK topology uses.
                 import dataclasses as _dc
 
+                import jax.numpy as jnp
+
                 from orc_tpu.mesh.compile import to_raw_order
 
                 state = _dc.replace(
                     state,
                     vel=to_raw_order(mesh, state.vel),
                     p=to_raw_order(mesh, state.p),
-                    mom_diag=to_raw_order(mesh, state.mom_diag),
+                    # to_raw_order permutes the leading cell axis;
+                    # mom_diag is component-major [3,C].
+                    mom_diag=jnp.moveaxis(
+                        to_raw_order(
+                            mesh, jnp.moveaxis(state.mom_diag, 0, -1)
+                        ),
+                        -1,
+                        0,
+                    ),
                 )
             write_solution_vtk(vtk_path, case.mesh_path, state)
         else:

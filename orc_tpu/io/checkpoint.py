@@ -21,6 +21,15 @@ from orc_tpu.mesh.compile import CompiledMesh
 from orc_tpu.solver.simple import FlowState
 
 
+def _as_component_major(md, n_cells: int):
+    """FlowState.mom_diag is component-major [3,C]; checkpoints written
+    before that layout change stored [C,3]. Detect and transpose (the
+    C==3 case is ambiguous but a 3-cell mesh is not a real workload)."""
+    if md.ndim == 2 and md.shape[0] == n_cells and md.shape[1] == 3:
+        return jnp.moveaxis(md, 0, -1)
+    return md
+
+
 def mesh_fingerprint(mesh: CompiledMesh) -> str:
     h = hashlib.sha256()
     h.update(np.int64(mesh.n_cells).tobytes())
@@ -73,7 +82,11 @@ def load_checkpoint(path, mesh: CompiledMesh, with_turbulence=False):
         state = FlowState(
             vel=jnp.asarray(z["vel"], mesh.dtype),
             p=jnp.asarray(z["p"], mesh.dtype),
-            mom_diag=jnp.asarray(z["mom_diag"], mesh.dtype),
+            # Back-compat: checkpoints written before the component-
+            # major FlowState layout store mom_diag as [C,3].
+            mom_diag=_as_component_major(
+                jnp.asarray(z["mom_diag"], mesh.dtype), mesh.n_cells
+            ),
             flux=(
                 jnp.asarray(z["flux"], mesh.dtype) if "flux" in z else None
             ),
@@ -127,6 +140,6 @@ def load_or_initialize(
         return FlowState(
             vel=jnp.asarray(vel, mesh.dtype),
             p=jnp.asarray(p, mesh.dtype),
-            mom_diag=jnp.ones((mesh.n_cells, 3), mesh.dtype),
+            mom_diag=jnp.ones((3, mesh.n_cells), mesh.dtype),
         )
     return initialize_flow(mesh, table, mu, rho)

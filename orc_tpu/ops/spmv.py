@@ -81,14 +81,26 @@ class EllMatrix:
         Splitting once per solve moves those copies out of the loop;
         the shift SpMV then reads loop-invariant contiguous vectors.
 
+        Zero-offset slots are DROPPED: a d == 0 entry marks a padded
+        ELL column that is never active (a real self-neighbor lives on
+        the diagonal, so mesh compilation assigns 0 only to slots with
+        identically-zero coefficients — e.g. the two unused K=6 slots
+        of a 2D mesh). Dropping them removes their dead coefficient
+        reads from every SpMV of the solve.
+
         Only meaningful for structured-offsets matrices (the slice-plan
         path converts layouts in `prepare()` instead). No-op if already
         split."""
         if self.offsets is None or isinstance(self.off, tuple):
             return self
-        K = self.off.shape[-1]
-        return self.with_values(
-            self.diag, tuple(self.off[..., k] for k in range(K))
+        keep = [k for k, d in enumerate(self.offsets) if int(d) != 0]
+        return EllMatrix(
+            diag=self.diag,
+            off=tuple(self.off[..., k] for k in keep),
+            neighbors=self.neighbors,
+            offsets=tuple(self.offsets[k] for k in keep),
+            plan=self.plan,
+            slice_layout=self.slice_layout,
         )
 
     def prepare(self) -> "EllMatrix":

@@ -112,7 +112,13 @@ def scatter_state(partition: Partition, state: FlowState) -> FlowState:
 
     if state.flux is not None:
         state = _dc.replace(state, flux=None)
-    return scatter_tree(partition, state)
+    # scatter_tree partitions the LEADING axis; mom_diag is component-
+    # major [3,C] (FlowState) — route it through cell-major and restore.
+    state = _dc.replace(state, mom_diag=jnp.moveaxis(state.mom_diag, 0, -1))
+    local = scatter_tree(partition, state)
+    return _dc.replace(
+        local, mom_diag=jnp.moveaxis(local.mom_diag, -1, 1)
+    )
 
 
 def gather_state(partition: Partition, local: FlowState, n_cells: int) -> FlowState:
@@ -126,7 +132,11 @@ def gather_state(partition: Partition, local: FlowState, n_cells: int) -> FlowSt
 
     if local.flux is not None:
         local = _dc.replace(local, flux=None)
-    return gather_tree(partition, local, n_cells)
+    # Inverse of scatter_state's mom_diag routing: [P,3,L] -> [P,L,3]
+    # for the leading-axis gather, then back to component-major [3,C].
+    local = _dc.replace(local, mom_diag=jnp.moveaxis(local.mom_diag, 1, -1))
+    out = gather_tree(partition, local, n_cells)
+    return _dc.replace(out, mom_diag=jnp.moveaxis(out.mom_diag, 0, -1))
 
 
 def _refresh_state(comm, state):
@@ -134,11 +144,15 @@ def _refresh_state(comm, state):
     neighbor values, so ghost slots must hold remote data first."""
     import dataclasses as _dcf
 
+    import jax as _jax
+
     return _dcf.replace(
         state,
         vel=comm.refresh(state.vel),
         p=comm.refresh(state.p),
-        mom_diag=comm.refresh(state.mom_diag),
+        # mom_diag is component-major [3,L] — refresh fills halo slots
+        # along the leading cell axis, so map it over the components.
+        mom_diag=_jax.vmap(comm.refresh)(state.mom_diag),
     )
 
 

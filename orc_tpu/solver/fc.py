@@ -240,7 +240,9 @@ def simple_step_fc(
         FlowState,
         NullComm,
         StepMetrics,
+        _md_cell,
         _needs_grad_p,
+        _refresh_rows,
         _solve_p_prime,
     )
 
@@ -251,7 +253,7 @@ def simple_step_fc(
 
     vel = comm.refresh(state.vel)
     p = comm.refresh(state.p)
-    mom_diag = comm.refresh(state.mom_diag)
+    mom_diag = _refresh_rows(comm, state.mom_diag)  # [3,C]
     flux = state.flux  # [F] conservative from the previous correction
 
     grad_p = (
@@ -301,11 +303,12 @@ def simple_step_fc(
             A3.diag, A3.off, b3, x0
         )
         md = comm.refresh(A3.diag)
-        new_mom_diag = md[:, None] * jnp.ones((1, 3), md.dtype)
+        new_mom_diag = jnp.broadcast_to(md[None, :], (3, md.shape[-1]))
     else:
         sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
-        new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
+        new_mom_diag = _refresh_rows(comm, A3.diag)
     new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
+    new_md_c = _md_cell(new_mom_diag)
 
     # Pressure equation from the flux predictor (full p, not p').
     flux_h = face_flux_h(
@@ -315,9 +318,9 @@ def simple_step_fc(
         settings.velocity_interpolation,
         p=p,
         grad_p=grad_p,
-        mom_diag=new_mom_diag,
+        mom_diag=new_md_c,
     )
-    d_face = _face_d_coeffs(mesh, fbc, rho, new_mom_diag)
+    d_face = _face_d_coeffs(mesh, fbc, rho, new_md_c)
     Pmat, b_p = fc_pressure_system(mesh, fbc, rho, flux_h, d_face)
     # Warm-started full-p solve (x0 = current p: near convergence the
     # initial residual is already small and the rel-to-r0 exit fires
@@ -328,8 +331,15 @@ def simple_step_fc(
         maybe_singular, x0=p,
     )
 
-    # Conservative stored flux from the UNRELAXED p_new.
+    # Conservative stored flux from the UNRELAXED p_new; under
+    # explicit relaxation it is blended with the previous stored flux
+    # by the same alpha the velocity correction receives (both
+    # operands are divergence-free, so the blend stays conservative —
+    # settings.resolved_fc_flux_relaxation).
     new_flux = correct_flux(mesh, fbc, flux_h, d_face, rho, p_new)
+    beta_f = settings.resolved_fc_flux_relaxation()
+    if beta_f != 1.0:
+        new_flux = flux + beta_f * (new_flux - flux)
 
     # Relaxed pressure + consistent face-value velocity correction from
     # the relaxed increment (what the next momentum solve sees).
@@ -339,7 +349,7 @@ def simple_step_fc(
         pressure_correction_form=PressureCorrectionForm.FACE_VALUE,
     )
     vel3, p_out, (p_corr_sq, vel_corr_sq) = apply_pressure_correction(
-        mesh, fbc, s_corr, comm.refresh(dp), new_mom_diag, new_vel, p
+        mesh, fbc, s_corr, comm.refresh(dp), new_md_c, new_vel, p
     )
 
     n_active = comm.axis_sum(jnp.sum(active))
@@ -502,7 +512,7 @@ def ck_initial_flux(mesh, ck, bc, settings, state):
         ck_lsq_pressure_gradient,
         ck_pressure_gradient,
     )
-    from orc_tpu.solver.simple import _needs_grad_p
+    from orc_tpu.solver.simple import _md_cell, _needs_grad_p
     from orc_tpu.utils.settings import GradientReconstruction
 
     grad_p = None
@@ -515,7 +525,7 @@ def ck_initial_flux(mesh, ck, bc, settings, state):
         grad_p = gp_fn(mesh, ck, bc, state.p)
     return ck_flux(
         mesh, ck, bc, state.vel, settings.velocity_interpolation,
-        p=state.p, grad_p=grad_p, mom_diag=state.mom_diag,
+        p=state.p, grad_p=grad_p, mom_diag=_md_cell(state.mom_diag),
     )
 
 
@@ -558,7 +568,9 @@ def ck_simple_step_fc(
         FlowState,
         NullComm,
         StepMetrics,
+        _md_cell,
         _needs_grad_p,
+        _refresh_rows,
         _solve_p_prime,
     )
     from orc_tpu.utils.settings import GradientReconstruction
@@ -569,7 +581,7 @@ def ck_simple_step_fc(
     diff_diag, diff_off, diff_b = ck_diff
     vel = comm.refresh(state.vel)
     p = comm.refresh(state.p)
-    mom_diag = comm.refresh(state.mom_diag)
+    mom_diag = _refresh_rows(comm, state.mom_diag)  # [3,C]
     flux = state.flux  # [C,K] conservative from the previous correction
     active = ck.mask.any(axis=1)
 
@@ -673,18 +685,19 @@ def ck_simple_step_fc(
             A3.diag, A3.off, b3, x0
         )
         md = comm.refresh(A3.diag)
-        new_mom_diag = md[:, None] * jnp.ones((1, 3), md.dtype)
+        new_mom_diag = jnp.broadcast_to(md[None, :], (3, md.shape[-1]))
     else:
         sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
-        new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
+        new_mom_diag = _refresh_rows(comm, A3.diag)
     new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
+    new_md_c = _md_cell(new_mom_diag)
 
-    new_md_nbr = nbr_values(mesh, new_mom_diag, ck.interior)
+    new_md_nbr = nbr_values(mesh, new_md_c, ck.interior)
     if pallas_asm is not None:
         from orc_tpu.ops.pallas_assembly import fc_pc_assembly
 
         pdiag, poff, b_p, flux_h = fc_pc_assembly(
-            new_vel, new_mom_diag[:, 0], bcv, flags, cols, rho,
+            new_vel, new_mom_diag[0], bcv, flags, cols, rho,
             grad_p=grad_p, spec=aspec, interpret=interp,
         )
         Pmat = EllMatrix(
@@ -696,16 +709,16 @@ def ck_simple_step_fc(
         # elementwise pass; a 1-ulp mismatch vs the kernel's matrix
         # coefficients only perturbs div(flux) at rounding scale,
         # re-zeroed by the next p-solve).
-        d_ck = ck_d_coeffs(mesh, ck, bc, rho, new_mom_diag, new_md_nbr)
+        d_ck = ck_d_coeffs(mesh, ck, bc, rho, new_md_c, new_md_nbr)
     else:
         new_vel_nbr = nbr_values(mesh, new_vel, ck.interior)
         flux_h = ck_flux_h(
             mesh, ck, bc, new_vel, settings.velocity_interpolation,
             p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
-            mom_diag=new_mom_diag, mom_diag_nbr=new_md_nbr,
+            mom_diag=new_md_c, mom_diag_nbr=new_md_nbr,
             vel_nbr=new_vel_nbr,
         )
-        d_ck = ck_d_coeffs(mesh, ck, bc, rho, new_mom_diag, new_md_nbr)
+        d_ck = ck_d_coeffs(mesh, ck, bc, rho, new_md_c, new_md_nbr)
         Pmat, b_p = ck_fc_pressure_system(mesh, ck, bc, rho, flux_h, d_ck)
     p_new, p_info = _solve_p_prime(
         Pmat, b_p, p, settings, active, comm, solver_extras,
@@ -715,6 +728,12 @@ def ck_simple_step_fc(
     new_flux = ck_correct_flux(
         mesh, ck, bc, flux_h, d_ck, rho, p_new, p_new_nbr
     )
+    # Stored-flux under-relaxation (see the face-major step / the
+    # settings.fc_flux_relaxation docstring): conservative blend,
+    # alpha-consistent with the explicit velocity correction.
+    beta_f = settings.resolved_fc_flux_relaxation()
+    if beta_f != 1.0:
+        new_flux = flux + beta_f * (new_flux - flux)
 
     dp = (p_new - p) * settings.pressure_relaxation
     s_corr = settings.replace(
@@ -722,7 +741,7 @@ def ck_simple_step_fc(
         pressure_correction_form=PressureCorrectionForm.FACE_VALUE,
     )
     vel3, p_out, (p_corr_sq, vel_corr_sq) = ck_apply_correction(
-        mesh, ck, bc, s_corr, comm.refresh(dp), new_mom_diag, new_vel, p
+        mesh, ck, bc, s_corr, comm.refresh(dp), new_md_c, new_vel, p
     )
 
     n_active = comm.axis_sum(jnp.sum(active))

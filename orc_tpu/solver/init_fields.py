@@ -271,7 +271,7 @@ def initialize_flow(
         p = initialize_pressure_field(mesh, table)
     if constraint in (SystemConstraint.VELOCITY_ONLY, SystemConstraint.HYBRID):
         vel, _ = initialize_velocity_field(mesh, table)
-    return FlowState(vel=vel, p=p, mom_diag=jnp.ones((C, 3), mesh.dtype))
+    return FlowState(vel=vel, p=p, mom_diag=jnp.ones((3, C), mesh.dtype))
 
 
 def _classify_only(table: BoundaryTable) -> SystemConstraint:
@@ -360,5 +360,5 @@ def initialize_flow_ramp(
 
         sol = jax.vmap(solve_one)(b3, sol)
     return FlowState(
-        vel=jnp.moveaxis(sol, 0, -1), p=p, mom_diag=jnp.ones((C, 3), mesh.dtype)
+        vel=jnp.moveaxis(sol, 0, -1), p=p, mom_diag=jnp.ones((3, C), mesh.dtype)
     )

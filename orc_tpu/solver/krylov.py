@@ -228,8 +228,30 @@ def jacobi_smooth_solve(
     global reduction — the iterates are a pure stationary map of the
     inputs, so sharded and single-device runs agree to halo roundoff
     regardless of psum summation order. One SpMV per sweep; the final
-    residual norm is computed once for SolveInfo/divergence flags."""
+    residual norm is computed once for SolveInfo/divergence flags.
+
+    Large structured-offsets f32 systems run ALL sweeps in one fused
+    Pallas pass over sweep-deep VMEM halo windows
+    (ops/pallas_smooth.py) — ~one HBM read+write for the whole solve
+    instead of one pass per sweep."""
     _, _norm = _reducers(compensated)
+    if refresh is _no_refresh and A.offsets is not None:
+        from orc_tpu.ops.pallas_smooth import fused_jacobi_sweeps
+
+        # Falls back to the identical XLA sweep loop when ineligible
+        # (f64, CPU, small C, traced relaxation, slice layout).
+        x = project(
+            fused_jacobi_sweeps(
+                A.diag, A.off, A.offsets, b, x0, iterations, relaxation
+            )
+        )
+        rn = _norm(project(b - _mv(A, x, refresh)), axis_sum)
+        diverged = jnp.isnan(rn) | (jnp.max(jnp.abs(x)) > 1e10)
+        return x, SolveInfo(
+            iterations=jnp.asarray(iterations, jnp.int32),
+            residual=rn,
+            diverged=diverged,
+        )
     inv_diag = 1.0 / A.diag
     b_prime = b * inv_diag
 

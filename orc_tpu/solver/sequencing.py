@@ -59,7 +59,15 @@ def prolong_state(state: FlowState, dims_from, dims_to) -> FlowState:
     return FlowState(
         vel=upsample_field(state.vel, dims_from, dims_to),
         p=upsample_field(state.p, dims_from, dims_to),
-        mom_diag=upsample_field(state.mom_diag, dims_from, dims_to),
+        # mom_diag is component-major [3,C] (FlowState) — upsample the
+        # cell axis, then restore the layout.
+        mom_diag=jnp.moveaxis(
+            upsample_field(
+                jnp.moveaxis(state.mom_diag, 0, -1), dims_from, dims_to
+            ),
+            -1,
+            0,
+        ),
     )
 
 

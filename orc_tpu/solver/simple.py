@@ -94,7 +94,16 @@ class FlowState:
     # this iteration's matrices exist (the reference reads them from its
     # in-place-updated CSR matrices, initialized to 1.0 —
     # discretization.rs:450-472).
-    mom_diag: jax.Array  # [C,3]
+    #
+    # COMPONENT-MAJOR [3,C] (not [C,3]): as a scan carry, a [C,3]
+    # minor-dim-3 array gets the lane-padded {1,0:T(8,128)} layout —
+    # 42.7x its logical size (604 MB at 9.4M cells) and a 7.9 ms/iter
+    # broadcast to (re)produce it. [3,C] matches the batched [3,C]
+    # momentum-solve layout (the producer: A3.diag), so the shared-
+    # matrix case is a contiguous 3-row broadcast and per-component
+    # reads are zero-copy row slices. Cell-major consumers (Rhie-Chow
+    # geometry products) take a one-off _md_cell() transpose.
+    mom_diag: jax.Array  # [3,C]
     # Stored conservative face fluxes [F] (owner-outward normal
     # velocity) — only under PressureVelocityCoupling.SIMPLE_FC
     # (solver/fc.py); None on the stateless parity loop.
@@ -143,8 +152,23 @@ def initial_state(mesh: CompiledMesh, vel=None, p=None) -> FlowState:
     return FlowState(
         vel=jnp.zeros((C, 3), dt) if vel is None else jnp.asarray(vel, dt),
         p=jnp.zeros((C,), dt) if p is None else jnp.asarray(p, dt),
-        mom_diag=jnp.ones((C, 3), dt),
+        mom_diag=jnp.ones((3, C), dt),
     )
+
+
+def _md_cell(mom_diag):
+    """Cell-major [C,3] view of the component-major [3,C] stored
+    momentum diagonals (see FlowState.mom_diag) for the geometry-
+    product consumers (Rhie-Chow fluxes, correction coefficients)."""
+    return jnp.moveaxis(mom_diag, 0, -1)
+
+
+def _refresh_rows(comm, md):
+    """comm.refresh for a component-major [B,C] array: refresh fills
+    halo slots along the leading cell axis, so map it over B."""
+    if comm.refresh is _no_refresh:
+        return md
+    return jax.vmap(comm.refresh)(md)
 
 
 def _needs_grad_p(settings: NumericalSettings) -> bool:
@@ -204,7 +228,7 @@ def initial_flux(mesh, zone_codes, zone_scalar, zone_vector, settings, state):
         settings.velocity_interpolation,
         p=state.p,
         grad_p=grad_p,
-        mom_diag=state.mom_diag,
+        mom_diag=_md_cell(state.mom_diag),
     )
 
 
@@ -295,7 +319,7 @@ def simple_step(
 
     vel = comm.refresh(state.vel)
     p = comm.refresh(state.p)
-    mom_diag = comm.refresh(state.mom_diag)
+    mom_diag = _md_cell(_refresh_rows(comm, state.mom_diag))
 
     grad_p = (
         comm.refresh(
@@ -355,11 +379,12 @@ def simple_step(
             A3.diag, A3.off, b3, x0
         )
         md = comm.refresh(A3.diag)
-        new_mom_diag = md[:, None] * jnp.ones((1, 3), md.dtype)
+        new_mom_diag = jnp.broadcast_to(md[None, :], (3, md.shape[-1]))
     else:
         sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
-        new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
+        new_mom_diag = _refresh_rows(comm, A3.diag)
     new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
+    new_md_c = _md_cell(new_mom_diag)
 
     # Pressure-correction system with post-solve velocities and the new
     # momentum diagonals (reference: solver.rs:137-148).
@@ -370,15 +395,15 @@ def simple_step(
         settings.velocity_interpolation,
         p=p,
         grad_p=grad_p,
-        mom_diag=new_mom_diag,
+        mom_diag=new_md_c,
     )
-    Pmat, b_p = pressure_correction_system(mesh, fbc, rho, flux2, new_mom_diag)
+    Pmat, b_p = pressure_correction_system(mesh, fbc, rho, flux2, new_md_c)
     p_prime, p_info = _solve_p_prime(
         Pmat, b_p, p, settings, active, comm, solver_extras, maybe_singular
     )
 
     vel3, p_new, (p_corr_sq, vel_corr_sq) = apply_pressure_correction(
-        mesh, fbc, settings, p_prime, new_mom_diag, new_vel, p
+        mesh, fbc, settings, p_prime, new_md_c, new_vel, p
     )
 
     n_active = comm.axis_sum(jnp.sum(active))
@@ -457,7 +482,10 @@ def ck_simple_step(
     diff_diag, diff_off, diff_b = ck_diff
     vel = comm.refresh(state.vel)
     p = comm.refresh(state.p)
-    mom_diag = comm.refresh(state.mom_diag)
+    mom_diag = _refresh_rows(comm, state.mom_diag)  # [3,C]
+    # Cell-major view for the geometry-product consumers; never built
+    # on the fused-kernel path (the kernels take the shared [C] row).
+    md_c = None if pallas_asm is not None else _md_cell(mom_diag)
     active = ck.mask.any(axis=1)
 
     need_gp = _needs_grad_p(settings)
@@ -496,7 +524,7 @@ def ck_simple_step(
     )
     mom_diag_nbr = (
         None if pallas_asm is not None
-        else nbr_values(mesh, mom_diag, ck.interior)
+        else nbr_values(mesh, md_c, ck.interior)
     )
 
     if pallas_asm is not None:
@@ -515,7 +543,7 @@ def ck_simple_step(
         mdiag, moff, b3 = momentum_assembly(
             vel, p, bcv, flags, cols, rho, mu,
             settings.momentum_relaxation,
-            grad_p=grad_p, mom_diag=mom_diag[:, 0], grad_vel=grad_v,
+            grad_p=grad_p, mom_diag=mom_diag[0], grad_vel=grad_v,
             inertia=inertia, spec=aspec, interpret=interp,
         )
         if settings.momentum_source is not None:
@@ -546,7 +574,7 @@ def ck_simple_step(
         flux = ck_flux(
             mesh, ck, bc, vel, settings.velocity_interpolation,
             p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
-            mom_diag=mom_diag, mom_diag_nbr=mom_diag_nbr, vel_nbr=vel_nbr,
+            mom_diag=md_c, mom_diag_nbr=mom_diag_nbr, vel_nbr=vel_nbr,
         )
         F = flux * ck.area * rho
         p_f = ck_face_pressure(
@@ -582,16 +610,16 @@ def ck_simple_step(
             A3.diag, A3.off, b3, x0
         )
         md = comm.refresh(A3.diag)
-        new_mom_diag = md[:, None] * jnp.ones((1, 3), md.dtype)
+        new_mom_diag = jnp.broadcast_to(md[None, :], (3, md.shape[-1]))
     else:
         sol, info = jax.vmap(solve_one)(A3.diag, A3.off, b3, x0)
-        new_mom_diag = comm.refresh(jnp.moveaxis(A3.diag, 0, -1))
+        new_mom_diag = _refresh_rows(comm, A3.diag)
     new_vel = comm.refresh(jnp.moveaxis(sol, 0, -1))
     if pallas_asm is not None:
         from orc_tpu.ops.pallas_assembly import pc_assembly
 
         pdiag, poff, b_p = pc_assembly(
-            new_vel, new_mom_diag[:, 0], bcv, flags, cols, rho,
+            new_vel, new_mom_diag[0], bcv, flags, cols, rho,
             p=p, grad_p=grad_p, spec=aspec, interpret=interp,
         )
         Pmat = EllMatrix(
@@ -599,24 +627,25 @@ def ck_simple_step(
             offsets=mesh.neighbor_offsets,
         )
     else:
-        new_md_nbr = nbr_values(mesh, new_mom_diag, ck.interior)
+        new_md_c = _md_cell(new_mom_diag)
+        new_md_nbr = nbr_values(mesh, new_md_c, ck.interior)
         new_vel_nbr = nbr_values(mesh, new_vel, ck.interior)
 
         flux2 = ck_flux(
             mesh, ck, bc, new_vel, settings.velocity_interpolation,
             p=p, grad_p=grad_p, grad_p_nbr=grad_p_nbr,
-            mom_diag=new_mom_diag, mom_diag_nbr=new_md_nbr,
+            mom_diag=new_md_c, mom_diag_nbr=new_md_nbr,
             vel_nbr=new_vel_nbr,
         )
         F2 = flux2 * ck.area * rho
         Pmat, b_p = ck_pressure_correction(
-            mesh, ck, bc, rho, F2, new_mom_diag, mom_diag_nbr=new_md_nbr
+            mesh, ck, bc, rho, F2, new_md_c, mom_diag_nbr=new_md_nbr
         )
     p_prime, p_info = _solve_p_prime(
         Pmat, b_p, p, settings, active, comm, solver_extras, maybe_singular
     )
     vel3, p_new, (p_corr_sq, vel_corr_sq) = ck_apply_correction(
-        mesh, ck, bc, settings, p_prime, new_mom_diag, new_vel, p
+        mesh, ck, bc, settings, p_prime, _md_cell(new_mom_diag), new_vel, p
     )
 
     n_active = comm.axis_sum(jnp.sum(active))

@@ -504,7 +504,19 @@ def solve_steady_turbulent_sharded(
         turb = initial_turbulence(mesh, u_ref, intensity, length_scale, rho)
     k_in = 1.5 * (intensity * abs(u_ref)) ** 2
     eps_in = C_MU ** 0.75 * k_in ** 1.5 / length_scale
+    # scatter_tree partitions the LEADING axis; FlowState.mom_diag is
+    # component-major [3,C] — route it through cell-major and restore
+    # (same dance as parallel.sharded.scatter_state).
+    state = dataclasses.replace(
+        state, mom_diag=jnp.moveaxis(state.mom_diag, 0, -1)
+    )
     local = scatter_tree(partition, (state, turb))
+    local = (
+        dataclasses.replace(
+            local[0], mom_diag=jnp.moveaxis(local[0].mom_diag, -1, 1)
+        ),
+        local[1],
+    )
 
     reporting_interval = max(1, min(reporting_interval, iterations))
 
@@ -587,5 +599,14 @@ def solve_steady_turbulent_sharded(
             jax.device_get(jnp.any(metrics.diverged))
         ):
             raise SolverDivergedError(done)
+    local = (
+        dataclasses.replace(
+            local[0], mom_diag=jnp.moveaxis(local[0].mom_diag, 1, -1)
+        ),
+        local[1],
+    )
     flow, tb = gather_tree(partition, local, mesh.n_cells)
+    flow = dataclasses.replace(
+        flow, mom_diag=jnp.moveaxis(flow.mom_diag, 0, -1)
+    )
     return flow, tb, history

@@ -408,6 +408,26 @@ class NumericalSettings:
     # ~2^-48 at the cost of two extra f32 fields and a few axpys per
     # iteration.
     compensated_state: bool = True
+    # SIMPLE_FC stored-flux under-relaxation (None = auto): the
+    # conservative flux update blends
+    #   flux <- flux_old + beta * (flux_corrected - flux_old).
+    # Both operands are (discretely) divergence-free, so any blend
+    # stays conservative. Auto resolves to 1.0 under IMPLICIT
+    # relaxation (the solved velocity already IS the relaxed one, so
+    # the full correction is consistent) and to momentum_relaxation
+    # under EXPLICIT (the velocity receives only alpha_u of the
+    # correction — storing the FULL flux correction builds an
+    # O((1-alpha_u)*corr) field/flux inconsistency each iteration,
+    # the measured FC+explicit divergence mechanism; see NOTES.md
+    # round 5).
+    fc_flux_relaxation: Optional[float] = None
+
+    def resolved_fc_flux_relaxation(self) -> float:
+        if self.fc_flux_relaxation is not None:
+            return self.fc_flux_relaxation
+        if self.relaxation_mode is RelaxationMode.IMPLICIT:
+            return 1.0
+        return self.momentum_relaxation
 
     def __post_init__(self):
         if self.relaxation_mode is None:
