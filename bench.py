@@ -590,6 +590,45 @@ def extended_metrics():
             "vs_baseline": round(12.1 / ms_iter, 3),
         }
     )
+
+    # --- same cavity under the REFERENCE-DEFAULT scheme set (CD1 +
+    # SecondOrder pressure + Rhie-Chow, lib.rs:58-74): the end-to-end
+    # cost of the numerics the reference actually ships (VERDICT r4
+    # item 7 — previously only the assembly micro-bench covered it).
+    s_ref = _dc.replace(
+        settings,
+        momentum=MomentumScheme.CD1,
+        pressure_interpolation=PressureInterpolation.SECOND_ORDER,
+        velocity_interpolation=VelocityInterpolation.RHIE_CHOW,
+    )
+    pallas_ref = _pallas_asm_spec(mesh_c, table_c, s_ref, ck_c)
+    run_r = _make_chunk_runner(
+        mesh_c, s_ref, diff, n_it, {}, ck=ck_c, ck_diff=ck_diff,
+        pallas_asm=pallas_ref, maybe_singular=False,
+    )
+    state = initial_state(mesh_c)
+    state, _ = run_r(state, zc, zs, zv, 1.0, 1e-3)
+    _ = np.asarray(state.p[:8])
+    times = []
+    for _i in range(5):
+        t0 = _time.perf_counter()
+        state, _ = run_r(state, zc, zs, zv, 1.0, 1e-3)
+        _ = np.asarray(state.p[:8])
+        times.append(_time.perf_counter() - t0)
+    ms_ref = sorted(times)[len(times) // 2] / n_it * 1e3
+    lines.append(
+        {
+            "metric": (
+                f"cavity {n_ext}^2 f32 CD1+SecondOrder+RhieChow "
+                f"(reference-default schemes), one chip"
+            ),
+            "value": round(ms_ref, 2),
+            "unit": "ms/iter",
+            # baselined against the UD fast pair: the overhead factor
+            # of the reference's own numerics on this framework.
+            "vs_baseline": round(ms_iter / ms_ref, 3),
+        }
+    )
     return lines
 
 
