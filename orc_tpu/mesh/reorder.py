@@ -73,6 +73,28 @@ class SlicePlan:
     #: None disables that kernel (AMG coarse plans and f64/CPU meshes
     #: never gather neighbor values, so they skip the ~C*K*4 B buffer).
     col_tile: "jax.Array | None" = None
+    #: [ntiles] i32 — per-tile count of USED slice columns. n_max is
+    #: the worst tile; the distribution is heavily skewed (measured on
+    #: the permuted 448^2 cavity: mean 5.1, median 4, max 33).
+    #: Informational — the kernels exploit the skew via the STATIC
+    #: heavy-tail split below (a dynamic per-tile trip count measured
+    #: ~14x slower per slice on v5e).
+    tile_nj: "jax.Array | None" = None
+    #: Heavy-tail split (tile == 128 plans): the main SpMV kernel
+    #: statically iterates only slice columns [0, j0) of every tile
+    #: (j0 a multiple of 8, chosen so most tiles are fully covered);
+    #: columns [j0, n_max) of the n_heavy tiles that exceed it run in
+    #: a second small kernel over heavy_ids/heavy_relq and are
+    #: scatter-added. j0 == 0 disables the split (static n_max loop).
+    j0: int = dataclasses.field(default=0, metadata=dict(static=True))
+    n_heavy: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    #: [Hp] i32 heavy tile ids (padded to a multiple of 8).
+    heavy_ids: "jax.Array | None" = None
+    #: [Hp, n_max - j0 + 1] i32 — per-heavy-tile slice starts relative
+    #: to its own window; last column the window base row.
+    heavy_relq: "jax.Array | None" = None
 
     @property
     def ntiles(self) -> int:
@@ -242,6 +264,35 @@ def build_slice_plan(
             jnp.int32,
         )
 
+    # Heavy-tail split metadata (see the SlicePlan field docs): pick
+    # the smallest multiple-of-8 j0 that fully covers >= 3/4 of the
+    # tiles; the remainder runs in the small second kernel. The 8x
+    # per-heavy-tile VMEM windows gate on win_rows (the heavy kernel's
+    # scratch is 8 * win_rows * 512 B).
+    j0 = n_heavy_ct = 0
+    heavy_ids = heavy_relq = None
+    if tile == LANES and n_max > 12 and 0 < win_rows <= 1024:
+        for cand in (8, 16, 24):
+            if cand >= n_max:
+                break
+            if (counts > cand).sum() <= ntiles // 4:
+                j0 = cand
+                break
+        if j0:
+            heavy = np.nonzero(counts > j0)[0]
+            n_heavy_ct = len(heavy)
+            n_rest = n_max - j0
+            Hp = max(8, -(-n_heavy_ct // 8) * 8)
+            sub = starts[heavy, j0:]  # [H, n_rest], pad_lo included
+            qmin_h = (sub // LANES).min(axis=1)
+            relq = np.zeros((Hp, n_rest + 1), dtype=np.int64)
+            relq[:n_heavy_ct, :n_rest] = sub - qmin_h[:, None] * LANES
+            relq[:n_heavy_ct, n_rest] = qmin_h
+            hids = np.zeros(Hp, dtype=np.int64)
+            hids[:n_heavy_ct] = heavy
+            heavy_ids = jnp.asarray(hids, jnp.int32)
+            heavy_relq = jnp.asarray(relq, jnp.int32)
+
     return SlicePlan(
         starts=jnp.asarray(starts, jnp.int32),
         col_of=jnp.asarray(col_of, jnp.int32),
@@ -252,6 +303,11 @@ def build_slice_plan(
         n_cells=C,
         win_rows=win_rows,
         col_tile=col_tile,
+        tile_nj=jnp.asarray(counts, jnp.int32),
+        j0=j0,
+        n_heavy=n_heavy_ct,
+        heavy_ids=heavy_ids,
+        heavy_relq=heavy_relq,
     )
 
 

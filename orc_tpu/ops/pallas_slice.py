@@ -45,6 +45,13 @@ GROUP = 8  # tiles per grid step (output sublanes per block)
 
 
 def _kernel(n_max, wr, qmin_ref, rel_ref, coef_ref, x_hbm, y_ref):
+    # n_max here is the STATIC per-tile slice count this kernel
+    # handles — the full plan n_max, or plan.j0 when the heavy-tail
+    # split is active (_kernel_heavy takes the rest). The loop must
+    # stay statically unrolled: a dynamic per-tile trip count
+    # (lax.fori_loop over SlicePlan.tile_nj) was measured ~14x slower
+    # PER SLICE on v5e — Mosaic's dynamic loop around tiny [1,128]
+    # ops erases the 5x work saving and then some (round 5).
     g = pl.program_id(0)
     qmin = qmin_ref[g]
 
@@ -84,8 +91,58 @@ def _kernel(n_max, wr, qmin_ref, rel_ref, coef_ref, x_hbm, y_ref):
     )
 
 
+def _kernel_heavy(n_rest, wr, relq_ref, coefB_ref, x_hbm, y_ref):
+    """Heavy-tail kernel: slice columns [j0, n_max) of the few tiles
+    whose used-slice count exceeds plan.j0 (~10% of tiles on real
+    irregular meshes). One group of 8 heavy tiles per grid step; the
+    tiles are scattered, so each gets its OWN window DMA.
+
+    relq_ref: SMEM [8, n_rest + 1] — columns 0..n_rest-1 the slice
+    starts relative to the tile's own window, column n_rest the
+    window's base row (qmin). coefB_ref: VMEM [8, n_rest, LANES]
+    (pre-gathered heavy rows of the scaled coef; padding rows zero).
+    """
+    def body(win, sem):
+        for t in range(8):
+            # Explicit i32 index: a bare Python int traces as i64
+            # under the package's x64 default and fails Mosaic's
+            # memref_slice verification.
+            dma = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(relq_ref[t, n_rest], wr), :],
+                win.at[jnp.int32(t)],
+                sem,
+            )
+            dma.start()
+            dma.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lanes_i = jnp.int32(LANES)
+        for t in range(8):
+            acc = jnp.zeros((1, LANES), y_ref.dtype)
+            for j in range(n_rest):
+                rel = relq_ref[t, j]
+                rq = jax.lax.div(rel, lanes_i)
+                rr = jax.lax.rem(rel, lanes_i)
+                pair = win[t, pl.ds(rq, 2), :]
+                rolled = pltpu.roll(
+                    pair, jax.lax.rem(lanes_i - rr, lanes_i), axis=1
+                )
+                sl = jnp.where(
+                    lane < lanes_i - rr, rolled[0:1, :], rolled[1:2, :]
+                )
+                acc = acc + coefB_ref[t, j, :].reshape(1, LANES) * sl
+            y_ref[t, :] = acc[0]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((8, wr, LANES), y_ref.dtype),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("tile", "n_max", "win_rows", "interpret")
+    jax.jit,
+    static_argnames=("tile", "n_max", "win_rows", "j0", "n_heavy",
+                     "interpret"),
 )
 def _slice_spmv_pallas(
     coef,
@@ -94,6 +151,10 @@ def _slice_spmv_pallas(
     tile: int,
     n_max: int,
     win_rows: int,
+    j0: int = 0,
+    n_heavy: int = 0,
+    heavy_ids=None,
+    heavy_relq=None,
     interpret: bool = False,
 ):
     """y_off [ntiles*tile] for one matrix (no diagonal term).
@@ -102,6 +163,15 @@ def _slice_spmv_pallas(
     starts: [ntiles, n_max] i32 slice starts into x_padded;
     x_padded: [pad_lo + C + pad_hi] (plan contract: every slice
     [s, s+tile) is in range).
+
+    j0 > 0 activates the HEAVY-TAIL SPLIT (SlicePlan.j0): the main
+    kernel statically iterates only the first j0 slice columns of
+    every tile (covering most tiles completely — the per-tile count
+    distribution is heavily skewed), and `_kernel_heavy` processes
+    columns [j0, n_max) for the `n_heavy` tiles that have more,
+    scatter-added into the result. Both kernels stay statically
+    unrolled — a dynamic per-tile trip count measured ~14x slower per
+    slice on v5e.
     """
     assert tile == LANES
     ntiles = coef.shape[0]
@@ -128,8 +198,12 @@ def _slice_spmv_pallas(
     nrows = -(-n // LANES) + win_rows
     x2 = jnp.pad(x_padded, (0, nrows * LANES - n)).reshape(nrows, LANES)
 
+    split = j0 > 0 and j0 < n_max and n_heavy > 0
+    jA = j0 if split else n_max
+    relA = rel[:, :jA] if split else rel
+
     z32 = lambda g: jnp.int32(0)
-    kern = functools.partial(_kernel, n_max, win_rows)
+    kern = functools.partial(_kernel, jA, win_rows)
     y = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((ntp, LANES), x_padded.dtype),
@@ -145,12 +219,15 @@ def _slice_spmv_pallas(
                 (ngroups,), lambda g: (z32(g),), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (GROUP, n_max),
+                (GROUP, jA),
                 lambda g: (g, z32(g)),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (GROUP, n_max, LANES),
+                # Partial column read when split: only [:, :jA, :] of
+                # coef ever reaches VMEM (jA is a multiple of 8 by the
+                # SlicePlan.j0 contract, satisfying the block rules).
+                (GROUP, jA, LANES),
                 lambda g: (g, z32(g), z32(g)),
                 memory_space=pltpu.VMEM,
             ),
@@ -162,7 +239,50 @@ def _slice_spmv_pallas(
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(qmin.astype(jnp.int32), rel, coef, x2)
+    )(
+        qmin.astype(jnp.int32),
+        relA,
+        coef,
+        x2,
+    )
+    if not split:
+        return y.reshape(ntp * LANES)
+
+    # --- heavy tail: columns [j0, n_max) of the n_heavy tiles ---
+    n_rest = n_max - j0
+    Hp = heavy_ids.shape[0]  # padded to a multiple of 8
+    # Pre-gathered heavy coef rows; padding rows zeroed so the padded
+    # grid slots contribute nothing.
+    coefB = coef[heavy_ids, j0:, :]
+    if Hp != n_heavy:
+        mask = (jnp.arange(Hp) < n_heavy)[:, None, None]
+        coefB = jnp.where(mask, coefB, 0.0)
+    kern_b = functools.partial(_kernel_heavy, n_rest, win_rows)
+    yB = pl.pallas_call(
+        kern_b,
+        out_shape=jax.ShapeDtypeStruct((Hp, LANES), x_padded.dtype),
+        grid=(Hp // 8,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, n_rest + 1),
+                lambda s: (s, z32(s)),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (8, n_rest, LANES),
+                lambda s: (s, z32(s), z32(s)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, LANES),
+            lambda s: (s, z32(s)),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(heavy_relq, coefB, x2)
+    y = y.at[heavy_ids[:n_heavy]].add(yB[:n_heavy])
     return y.reshape(ntp * LANES)
 
 
@@ -406,32 +526,49 @@ def _vmappable_kernel(plan, interpret):
         win_rows=plan.win_rows,
         interpret=interpret,
     )
-    impl = (
-        _slice_spmv_pallas
-        if plan.tile == LANES
-        else _slice_spmv_pallas_wide
-    )
+    wide = plan.tile != LANES
+    j0 = int(getattr(plan, "j0", 0) or 0)
+    n_heavy = int(getattr(plan, "n_heavy", 0) or 0)
 
     from jax.custom_batching import custom_vmap
 
+    # The heavy-split arrays ride as explicit arguments (like starts):
+    # under jit the plan arrays are TRACERS, and custom_vmap cannot
+    # close over a tracer ("No constant handler for
+    # DynamicJaxprTracer").
     @custom_vmap
-    def y_off(coef, starts, xp):
-        return impl(coef, starts, xp, **kw)
+    def y_off(coef, starts, hids, hrelq, xp):
+        if wide:
+            return _slice_spmv_pallas_wide(coef, starts, xp, **kw)
+        return _slice_spmv_pallas(
+            coef, starts, xp, j0=j0, n_heavy=n_heavy,
+            heavy_ids=hids, heavy_relq=hrelq, **kw,
+        )
 
     @y_off.def_vmap
-    def _rule(axis_size, in_batched, coef, starts, xp):
-        cb, sb, xb = in_batched
+    def _rule(axis_size, in_batched, coef, starts, hids, hrelq, xp):
+        cb, sb, hb, rb, xb = in_batched
         outs = [
             y_off(
                 coef[i] if cb else coef,
                 starts[i] if sb else starts,
+                hids[i] if hb else hids,
+                hrelq[i] if rb else hrelq,
                 xp[i] if xb else xp,
             )
             for i in range(axis_size)
         ]
         return jnp.stack(outs), True
 
-    return y_off
+    def call(coef, starts, xp):
+        hids = getattr(plan, "heavy_ids", None)
+        hrelq = getattr(plan, "heavy_relq", None)
+        if hids is None:  # no split — dummies keep the arity fixed
+            hids = jnp.zeros((8,), jnp.int32)
+            hrelq = jnp.zeros((8, 2), jnp.int32)
+        return y_off(coef, starts, hids, hrelq, xp)
+
+    return call
 
 
 def _nbr_kernel(
@@ -658,7 +795,9 @@ def slice_spmv_pallas(diag, coef, plan, x, interpret: bool = False):
 # ---------------------------------------------------------------------
 
 
-def _kernel_exact(n_max, wr, qmin_ref, rel_ref, coef_ref, x_hbm, y_ref, e_ref):
+def _kernel_exact(
+    n_max, wr, qmin_ref, rel_ref, coef_ref, x_hbm, y_ref, e_ref
+):
     from orc_tpu.ops.df32 import two_prod, two_sum
 
     g = pl.program_id(0)
@@ -813,7 +952,12 @@ def _slice_spmv_exact(
                 ),
             ),
             interpret=interpret,
-        )(qmin.astype(jnp.int32), rel, coef, x2)
+        )(
+            qmin.astype(jnp.int32),
+            rel,
+            coef,
+            x2,
+        )
         return y.reshape(ntp * LANES), e.reshape(ntp * LANES)
 
     T = tile // LANES

@@ -269,3 +269,65 @@ def test_best_plan_selector():
     nbrs = np.where(valid, nbrs, base)
     plan = build_best_slice_plan(nbrs, valid, build_col_tile=True)
     assert plan is not None and plan.tile == 128
+
+
+def _skewed_mesh(C=6400, K=6, band=400, seed=3):
+    """Adjacency with a heavily skewed per-tile slice-count
+    distribution (most tiles few distinct deltas, a tail of many) —
+    exercises the heavy-tail split (SlicePlan.j0 > 0)."""
+    rng = np.random.default_rng(seed)
+    ntiles = -(-C // 128)
+    n_d = np.minimum(2 + rng.geometric(0.2, ntiles), 30)
+    max_d = int(n_d.max())
+    tile_deltas = rng.integers(-band, band + 1, (ntiles, max_d))
+    t_of = np.arange(C) // 128
+    pick = rng.integers(0, 10_000, (C, K)) % n_d[t_of][:, None]
+    nbrs = np.arange(C)[:, None] + tile_deltas[t_of[:, None], pick]
+    valid = (nbrs >= 0) & (nbrs < C) & (rng.random((C, K)) < 0.9)
+    nbrs = np.where(valid, np.clip(nbrs, 0, C - 1), np.arange(C)[:, None])
+    plan = build_slice_plan(nbrs, valid, tile=128, build_col_tile=True)
+    assert plan is not None
+    off = (rng.standard_normal((C, K)) * valid).astype(np.float32)
+    diag = (rng.standard_normal(C) + 5.0).astype(np.float32)
+    x = rng.standard_normal(C).astype(np.float32)
+    return nbrs, off, diag, x, plan
+
+
+def test_heavy_tail_split_exact():
+    """With j0 active, kernel A (first j0 columns, all tiles) + kernel
+    B (the rest, heavy tiles) + scatter-add must equal the plain
+    gather SpMV."""
+    nbrs, off, diag, x, plan = _skewed_mesh()
+    assert plan.j0 > 0 and plan.n_heavy > 0, (
+        plan.j0, plan.n_heavy, plan.n_max
+    )
+    A = EllMatrix(
+        diag=jnp.asarray(diag), off=jnp.asarray(off),
+        neighbors=jnp.asarray(nbrs), plan=plan,
+    ).prepare()
+    y = np.asarray(
+        slice_spmv_pallas(A.diag, A.off, plan, jnp.asarray(x),
+                          interpret=True)
+    )
+    y_ref = diag * x + (off * x[nbrs]).sum(-1)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_heavy_tail_split_batched():
+    """vmapped [3,C] batched solve over a split plan (the momentum
+    path) stays exact."""
+    nbrs, off, diag, x, plan = _skewed_mesh(seed=11)
+    assert plan.j0 > 0
+    C = len(diag)
+    rng = np.random.default_rng(5)
+    x3 = rng.standard_normal((3, C)).astype(np.float32)
+    A = EllMatrix(
+        diag=jnp.asarray(diag), off=jnp.asarray(off),
+        neighbors=jnp.asarray(nbrs), plan=plan,
+    ).prepare()
+    f = lambda v: slice_spmv_pallas(A.diag, A.off, plan, v,
+                                    interpret=True)
+    y = np.asarray(jax.vmap(f)(jnp.asarray(x3)))
+    y_ref = diag * x3 + (off[None] * x3[:, nbrs.astype(np.int64)]
+                         * 1.0).sum(-1)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-5)
