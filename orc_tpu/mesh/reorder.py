@@ -346,8 +346,19 @@ def build_best_slice_plan(
         # instructions per tile: n_max rolls/selects/FMAs on
         # (T+1,128)-row blocks + coefficient-load cost (the [n_max,
         # tile] block read from HBM, ~1 instr / (8,128) f32 register).
-        instr = plan.n_max * (2 + -(-(T + 1) // 8) + -(-T // 8))
-        instr += plan.n_max * T * 16 // 8  # coef traffic
+        # Effective per-tile slice count: the tile-128 heavy-tail
+        # split (SlicePlan.j0) caps the main kernel at j0 slices and
+        # pays the tail only on the n_heavy tiles — measured 2.3x on
+        # the skewed distribution (BASELINE.md round 5), which moves
+        # the 128-vs-1024 crossover strongly toward 128.
+        if plan.j0:
+            n_eff = plan.j0 + (
+                plan.n_heavy * (plan.n_max - plan.j0)
+            ) / max(1, plan.ntiles)
+        else:
+            n_eff = plan.n_max
+        instr = n_eff * (2 + -(-(T + 1) // 8) + -(-T // 8))
+        instr += n_eff * T * 16 // 8  # coef traffic
         cost = instr / tile  # per cell
         if best_cost is None or cost < best_cost:
             best, best_cost = plan, cost
