@@ -225,6 +225,12 @@ def _smooth(A, b, x0, settings: MatrixSolverSettings,
 
     if (refresh is None or refresh is _no_refresh) and A.plan is not None:
         A = A.prepare()  # gather-free slice SpMV for the whole smooth
+    if A.offsets is not None:
+        # Pre-slice the off-diagonal columns outside the smoother's
+        # while loop (see EllMatrix.split_columns) — the multigrid
+        # cycle keeps the array form for Galerkin coarse construction,
+        # so the split happens per smooth rather than per solve.
+        A = A.split_columns()
     Ap, inv_d = A.jacobi_preconditioned()
     x, info = bicgstab_solve(
         Ap,

@@ -452,3 +452,42 @@ def test_fc_irregular_mesh_matches_structured():
     np.testing.assert_allclose(
         u_i, np.asarray(st_s.vel), rtol=0, atol=5e-8
     )
+
+
+def test_fc_explicit_relaxation_envelope():
+    """FC under EXPLICIT relaxation inside its measured stable envelope
+    (scripts/probe_fc_explicit.py, round 5): the pressure-driven
+    Poiseuille case converges — machine-deep, far beyond the parity
+    loop at the same settings — with the alpha-consistent stored-flux
+    blend (settings.resolved_fc_flux_relaxation) active by default.
+    The graded pressure-BC channel and alpha_p >= 0.1 cavities remain
+    OUTSIDE the envelope (NOTES.md round-5 table); AUTO therefore
+    still gates FC on implicit relaxation."""
+    from orc_tpu.models.channel_flow import (
+        ChannelFlowParameters,
+        couette_case,
+    )
+
+    params = ChannelFlowParameters(top_wall_velocity=0.0, dp_dx=5.0)
+    mesh, table = couette_case(nx=8, ny=8, params=params)
+    s = _fc_settings(
+        VelocityInterpolation.RHIE_CHOW,
+        pr=0.05,
+    ).replace(
+        relaxation_mode=RelaxationMode.EXPLICIT,
+        momentum_relaxation=0.5,
+    )
+    assert s.resolved_fc_flux_relaxation() == 0.5  # auto = alpha_u
+    state, hist = solve_steady(
+        mesh, table, s, params.rho, params.mu,
+        state=initial_state(mesh), iterations=300,
+        reporting_interval=300, verbose=False,
+    )
+    last = hist[-1]
+    assert not bool(np.any(np.asarray(last.diverged)))
+    # Deep convergence: the velocity corrections collapse.
+    assert float(np.asarray(last.vel_corr_norm)[-1]) < 1e-8
+    u = np.asarray(state.vel[:, 0])
+    h = 0.001
+    u_mean_ana = h**2 / (12 * params.mu) * params.dp_dx
+    assert abs(abs(u.mean()) - u_mean_ana) / u_mean_ana < 0.05
